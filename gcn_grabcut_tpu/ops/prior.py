@@ -1,0 +1,101 @@
+"""Training-free automatic FG/BG saliency prior, fully on-device.
+
+Re-implements the reference `compute_auto_prior`
+(src/gcn_grabcut/graph_builder.py:357-444) with masked statistics so the
+static K-cluster label space (empty clusters allowed) gives identical
+numbers on the valid slots:
+
+* Cue 1 — spatially-weighted global colour contrast (Cheng et al. 2011):
+  contrast_i = sum_j ||c_i - c_j|| * exp(-d_ij^2 / 2 sigma_s^2) * area_j,
+  times a centre Gaussian, min-max normalised.
+* Cue 2 — border colour model (Zhu et al. 2014): Gaussian distance to the
+  area-weighted border-region colour mean, max'd with clip(4*border_ratio),
+  min-max normalised.
+* Ambiguity = 1 - |fg - bg|.
+
+The K x K matrices are tiny for typical K (300-1000); a blocked Pallas
+variant takes over for the 10k+-node multi-host configuration.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _unit_norm_masked(v: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Min-max to [0,1] over valid entries; constant vectors → zeros.
+
+    Mirrors reference `_unit_norm` (graph_builder.py:447-454).
+    """
+    big = 1e30
+    mn = jnp.min(jnp.where(valid > 0, v, big))
+    mx = jnp.max(jnp.where(valid > 0, v, -big))
+    rng = mx - mn
+    out = jnp.where(rng < 1e-8, jnp.zeros_like(v), (v - mn) / (rng + 1e-12))
+    return out * valid
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def compute_auto_prior(segments: jnp.ndarray, lab: jnp.ndarray, k: int,
+                       centre_sigma: float = 0.45,
+                       contrast_sigma: float = 0.40) -> jnp.ndarray:
+    """(K, 3) prior [fg-ness, bg-ness, ambiguity], each in [0, 1]."""
+    H, W = segments.shape
+    flat = segments.reshape(-1)
+
+    ones = jnp.ones_like(flat, jnp.float32)
+    counts = jax.ops.segment_sum(ones, flat, num_segments=k)
+    safe = jnp.maximum(counts, 1.0)
+    valid = (counts > 0).astype(jnp.float32)
+
+    lab_sum = jax.ops.segment_sum(lab.reshape(-1, 3), flat, num_segments=k)
+    mean_lab = lab_sum / safe[:, None]
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) / H
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) / W
+    cy = jax.ops.segment_sum(yy.reshape(-1), flat, num_segments=k) / safe
+    cx = jax.ops.segment_sum(xx.reshape(-1), flat, num_segments=k) / safe
+    centroids = jnp.stack([cy, cx], axis=1)
+
+    # --- Cue 1: spatially weighted global colour contrast ------------------
+    colour_d = jnp.linalg.norm(
+        mean_lab[:, None, :] - mean_lab[None, :, :], axis=2)
+    spatial_d = jnp.linalg.norm(
+        centroids[:, None, :] - centroids[None, :, :], axis=2)
+    spatial_w = jnp.exp(-(spatial_d ** 2) / (2 * contrast_sigma ** 2))
+    area_w = counts / jnp.maximum(jnp.sum(counts), 1.0)
+
+    # Empty clusters carry area 0, so they drop out of the sum naturally.
+    contrast = jnp.sum(colour_d * spatial_w * area_w[None, :], axis=1)
+    contrast = _unit_norm_masked(contrast, valid)
+
+    centre_d = jnp.linalg.norm(centroids - 0.5, axis=1)
+    centre_w = jnp.exp(-(centre_d ** 2) / (2 * centre_sigma ** 2))
+    fgness = _unit_norm_masked(contrast * centre_w, valid)
+
+    # --- Cue 2: background model from image-border superpixels -------------
+    border_ids = jnp.concatenate([
+        segments[0, :], segments[-1, :], segments[:, 0], segments[:, -1]])
+    border_count = jax.ops.segment_sum(
+        jnp.ones_like(border_ids, jnp.float32), border_ids, num_segments=k)
+    border_ratio = border_count / safe
+
+    total_border = jnp.sum(border_count)
+    w_bg = border_count / jnp.maximum(total_border, 1.0)
+    mu_bg = jnp.sum(mean_lab * w_bg[:, None], axis=0)
+    var_bg = jnp.sum(((mean_lab - mu_bg) ** 2) * w_bg[:, None])
+    sigma_bg = jnp.sqrt(jnp.maximum(var_bg, 1e-6))
+    d_bg = jnp.linalg.norm(mean_lab - mu_bg, axis=1)
+    bgness = jnp.exp(-(d_bg ** 2) / (2 * (sigma_bg + 1e-6) ** 2))
+    bgness = jnp.where(total_border > 0, bgness, jnp.zeros_like(bgness))
+
+    bgness = _unit_norm_masked(
+        jnp.maximum(bgness, jnp.clip(border_ratio * 4.0, 0.0, 1.0)), valid)
+
+    ambiguity = (1.0 - jnp.abs(fgness - bgness)) * valid
+
+    prior = jnp.stack([fgness, bgness, ambiguity], axis=1)
+    return jnp.nan_to_num(prior, nan=0.0, posinf=1.0, neginf=0.0)

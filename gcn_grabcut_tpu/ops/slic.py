@@ -1,0 +1,191 @@
+"""SLIC superpixels as a fixed-iteration, fixed-shape JAX kernel.
+
+The reference calls scikit-image's Cython SLIC (reference:
+src/gcn_grabcut/graph_builder.py:177-188), which returns a *variable* number
+of labels and post-processes connectivity on the host.  That shape dynamism
+is hostile to XLA, so this implementation makes one deliberate design change:
+
+* Cluster seeds live on a fixed ``gh x gw`` grid chosen from the requested
+  ``n_segments`` — the label space is exactly ``K = gh * gw`` and **static**.
+  Clusters that end up empty simply become masked graph nodes downstream.
+* Each pixel restricts its assignment search to the 3x3 grid neighbourhood of
+  its home cell (the gSLICr/SNIC search strategy) — 9 candidate clusters per
+  pixel, fully vectorised over the image, no data-dependent control flow.
+* A fixed number of assign/update iterations (k-means in LABXY space with
+  the standard compactness metric D^2 = d_lab^2 + (d_xy * m / S)^2).
+* Connectivity clean-up is a fixed number of local mode-filter sweeps that
+  absorb stray single pixels; because candidates never leave the 3x3 cell
+  neighbourhood, fragments are local by construction.
+
+Everything here is jit-compatible with static shapes, and `vmap`s over a
+batch of images.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_shape(h: int, w: int, n_segments: int) -> tuple[int, int]:
+    """Choose a seed grid (gh, gw) with gh*gw ≈ n_segments, cells ~square."""
+    step = math.sqrt(h * w / max(n_segments, 1))
+    gh = max(1, round(h / step))
+    gw = max(1, round(w / step))
+    return gh, gw
+
+
+@functools.partial(jax.jit, static_argnames=("n_segments", "n_iter",
+                                             "compactness", "smooth_sigma"))
+def slic(lab: jnp.ndarray, n_segments: int = 300, compactness: float = 10.0,
+         n_iter: int = 10, smooth_sigma: float = 1.0) -> jnp.ndarray:
+    """Segment `lab` (H, W, 3) into at most K = gh*gw superpixels.
+
+    Returns (H, W) int32 labels in [0, K).  K is `slic_num_labels(...)` —
+    static, derived only from the image shape and `n_segments`.
+    """
+    H, W, _ = lab.shape
+    gh, gw = grid_shape(H, W, n_segments)
+    K = gh * gw
+    # Per-axis steps (cells need not be exactly square).
+    sy, sx = H / gh, W / gw
+    s_avg = math.sqrt(sy * sx)
+
+    lab = lab.astype(jnp.float32)
+    if smooth_sigma > 0:
+        lab = _gaussian_blur(lab, smooth_sigma)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+
+    # Seed centers at cell midpoints: (gh, gw, 5) = [L, a, b, y, x]
+    cy = (jnp.arange(gh, dtype=jnp.float32) + 0.5) * sy
+    cx = (jnp.arange(gw, dtype=jnp.float32) + 0.5) * sx
+    cyx = jnp.stack(jnp.meshgrid(cy, cx, indexing="ij"), axis=-1)  # (gh,gw,2)
+    seed_y = jnp.clip(cyx[..., 0].astype(jnp.int32), 0, H - 1)
+    seed_x = jnp.clip(cyx[..., 1].astype(jnp.int32), 0, W - 1)
+    seed_lab = lab[seed_y, seed_x]                                  # (gh,gw,3)
+    centers = jnp.concatenate([seed_lab, cyx], axis=-1)             # (gh,gw,5)
+
+    # Home cell per pixel (static mapping).
+    base_cy = jnp.clip((yy / sy).astype(jnp.int32), 0, gh - 1)
+    base_cx = jnp.clip((xx / sx).astype(jnp.int32), 0, gw - 1)
+
+    inv_s2 = (compactness / s_avg) ** 2
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    def assign(centers):
+        """Label each pixel with the best of its 9 candidate clusters."""
+        best_d = jnp.full((H, W), jnp.inf, jnp.float32)
+        best_l = jnp.zeros((H, W), jnp.int32)
+        for dy, dx in offsets:
+            ccy = base_cy + dy
+            ccx = base_cx + dx
+            valid = ((ccy >= 0) & (ccy < gh) & (ccx >= 0) & (ccx < gw))
+            ccy = jnp.clip(ccy, 0, gh - 1)
+            ccx = jnp.clip(ccx, 0, gw - 1)
+            c = centers[ccy, ccx]                          # (H, W, 5)
+            d_lab = jnp.sum((lab - c[..., :3]) ** 2, axis=-1)
+            d_xy = (yy - c[..., 3]) ** 2 + (xx - c[..., 4]) ** 2
+            d = d_lab + d_xy * inv_s2
+            d = jnp.where(valid, d, jnp.inf)
+            lbl = ccy * gw + ccx
+            take = d < best_d
+            best_d = jnp.where(take, d, best_d)
+            best_l = jnp.where(take, lbl, best_l)
+        return best_l
+
+    def update(labels):
+        """Recompute cluster means in LABXY space (masked for empties)."""
+        flat = labels.reshape(-1)
+        feats = jnp.concatenate(
+            [lab, yy[..., None], xx[..., None]], axis=-1).reshape(-1, 5)
+        sums = jax.ops.segment_sum(feats, flat, num_segments=K)
+        cnts = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32), flat,
+                                   num_segments=K)
+        means = sums / jnp.maximum(cnts, 1.0)[:, None]
+        # Empty clusters keep their previous (seed-grid) position so they can
+        # re-acquire pixels in later iterations.
+        return means.reshape(gh, gw, 5), cnts
+
+    def body(i, centers):
+        labels = assign(centers)
+        means, cnts = update(labels)
+        keep = (cnts.reshape(gh, gw) > 0)[..., None]
+        return jnp.where(keep, means, centers)
+
+    centers = jax.lax.fori_loop(0, n_iter, body, centers)
+    labels = assign(centers)
+    labels = _absorb_orphans(labels, n_sweeps=4)
+    return labels
+
+
+def slic_num_labels(h: int, w: int, n_segments: int) -> int:
+    gh, gw = grid_shape(h, w, n_segments)
+    return gh * gw
+
+
+def _absorb_orphans(labels: jnp.ndarray, n_sweeps: int = 2) -> jnp.ndarray:
+    """Local connectivity clean-up: a pixel none of whose 4-neighbours share
+    its label adopts the most frequent neighbouring label.  Removes the
+    single-pixel speckle the 9-candidate assignment can leave behind (the
+    role of skimage's enforce_connectivity post-pass, at fixed shape)."""
+    H, W = labels.shape
+
+    def neighbours(lb):
+        up = jnp.concatenate([lb[:1], lb[:-1]], axis=0)
+        dn = jnp.concatenate([lb[1:], lb[-1:]], axis=0)
+        lf = jnp.concatenate([lb[:, :1], lb[:, :-1]], axis=1)
+        rt = jnp.concatenate([lb[:, 1:], lb[:, -1:]], axis=1)
+        return up, dn, lf, rt
+
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    parity = (yy + xx) % 2
+
+    def half_sweep(lb, phase):
+        up, dn, lf, rt = neighbours(lb)
+        same = ((up == lb) | (dn == lb) | (lf == lb) | (rt == lb))
+        # Majority vote among the 4 neighbours (ties → up/down preference).
+        nbrs = [up, dn, lf, rt]
+        counts = [sum((n == cand).astype(jnp.int32) for n in nbrs)
+                  for cand in nbrs]
+        best = nbrs[0]
+        best_c = counts[0]
+        for cand, c in zip(nbrs[1:], counts[1:]):
+            take = c > best_c
+            best = jnp.where(take, cand, best)
+            best_c = jnp.where(take, c, best_c)
+        # Checkerboard update: only one parity class moves per half-sweep,
+        # so fixes cannot re-orphan the pixels that were just repaired.
+        move = jnp.logical_not(same) & (parity == phase)
+        return jnp.where(move, best, lb)
+
+    def sweep(_, lb):
+        lb = half_sweep(lb, 0)
+        return half_sweep(lb, 1)
+
+    return jax.lax.fori_loop(0, n_sweeps, sweep, labels)
+
+
+def _gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian pre-smoothing (SLIC's `sigma` parameter)."""
+    radius = max(1, int(3 * sigma + 0.5))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    k = k / jnp.sum(k)
+
+    def conv_axis(a, axis):
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (radius, radius)
+        ap = jnp.pad(a, pad, mode="reflect")
+        out = jnp.zeros_like(a)
+        for i in range(2 * radius + 1):
+            out = out + k[i] * jax.lax.slice_in_dim(
+                ap, i, i + a.shape[axis], axis=axis)
+        return out
+
+    return conv_axis(conv_axis(img, 0), 1)

@@ -1,0 +1,146 @@
+"""Graph construction invariants — the analog of the reference's
+TestGraphBuilder (reference: tests/test.py:87-155), adapted to the
+fixed-shape, masked-node representation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gcn_grabcut_tpu import (
+    build_graph, SuperpixelGraphConfig, N_NODE_FEATS, N_EDGE_FEATS,
+)
+from gcn_grabcut_tpu.ops import slic as slic_ops
+
+
+@pytest.fixture(scope="module")
+def graph(test_image):
+    return build_graph(test_image, SuperpixelGraphConfig(n_segments=80))
+
+
+class TestSlic:
+    def test_labels_in_static_range(self, test_image):
+        from gcn_grabcut_tpu.ops import image as im
+        lab = im.rgb_to_lab(jnp.asarray(test_image, jnp.float32))
+        seg = np.asarray(slic_ops.slic(lab, n_segments=80))
+        K = slic_ops.slic_num_labels(*test_image.shape[:2], 80)
+        assert seg.min() >= 0 and seg.max() < K
+        assert seg.shape == test_image.shape[:2]
+
+    def test_segments_are_locally_coherent(self):
+        # On a smooth image, labels must form coherent blobs (no speckle).
+        from gcn_grabcut_tpu.ops import image as im
+        xx, yy = np.meshgrid(np.arange(128), np.arange(96))
+        smooth = np.stack([xx * 2 % 256, yy * 2 % 256, (xx + yy) % 256],
+                          -1).astype(np.uint8)
+        lab = im.rgb_to_lab(jnp.asarray(smooth, jnp.float32))
+        seg = np.asarray(slic_ops.slic(lab, n_segments=80))
+        up = np.roll(seg, 1, 0)
+        lf = np.roll(seg, 1, 1)
+        assert ((seg == up) | (seg == lf)).mean() > 0.95
+
+    def test_few_orphan_pixels(self, test_image):
+        from gcn_grabcut_tpu.ops import image as im
+        lab = im.rgb_to_lab(jnp.asarray(test_image, jnp.float32))
+        seg = np.asarray(slic_ops.slic(lab, n_segments=80))
+        p = np.pad(seg, 1, mode="edge")
+        nb = [p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:]]
+        orphan = np.logical_and.reduce([seg != n for n in nb])
+        assert orphan.mean() < 2e-3
+
+    def test_roughly_uniform_sizes(self, test_image):
+        from gcn_grabcut_tpu.ops import image as im
+        lab = im.rgb_to_lab(jnp.asarray(test_image, jnp.float32))
+        seg = np.asarray(slic_ops.slic(lab, n_segments=80))
+        K = slic_ops.slic_num_labels(*test_image.shape[:2], 80)
+        counts = np.bincount(seg.ravel(), minlength=K)
+        # Average region ~HW/K pixels; no region should be gigantic.
+        assert counts.max() < 8 * test_image.shape[0] * test_image.shape[1] / K
+
+
+class TestGraphBuild:
+    def test_shapes_and_masks(self, graph, test_image):
+        g = graph.graph
+        K = graph.n_nodes
+        assert g.x.shape == (1, K, N_NODE_FEATS)
+        assert g.edge_attr.shape[2] == N_EDGE_FEATS
+        assert g.edge_src.shape == g.edge_dst.shape == g.edge_mask.shape
+        assert graph.segments.shape == test_image.shape[:2]
+        # Every pixel's label is a valid (unmasked) node.
+        mask = np.asarray(g.node_mask[0])
+        assert mask[np.unique(graph.segments)].all()
+
+    def test_features_finite_and_scaled(self, graph):
+        x = np.asarray(graph.graph.x[0])
+        assert np.isfinite(x).all()
+        # Colour channels min-max normalised to [0, 1].
+        assert x[:, 0:6].min() >= -1e-5 and x[:, 0:6].max() <= 1 + 1e-5
+
+    def test_edges_valid_and_symmetric(self, graph):
+        g = graph.graph
+        src = np.asarray(g.edge_src[0])
+        dst = np.asarray(g.edge_dst[0])
+        em = np.asarray(g.edge_mask[0]) > 0
+        K = graph.n_nodes
+        assert em.sum() > 0
+        assert src[em].max() < K and dst[em].max() < K
+        assert (src[em] != dst[em]).all()
+        # Stored symmetric: the set of (src, dst) equals the set of (dst, src).
+        fwd = set(zip(src[em].tolist(), dst[em].tolist()))
+        rev = set(zip(dst[em].tolist(), src[em].tolist()))
+        assert fwd == rev
+
+    def test_edge_attrs_in_range(self, graph):
+        g = graph.graph
+        ea = np.asarray(g.edge_attr[0])
+        em = np.asarray(g.edge_mask[0]) > 0
+        assert np.isfinite(ea).all()
+        assert ea[em][:, 0].max() <= 1 + 1e-5   # delta-E normalised
+        assert ea[em][:, 1].max() <= 1 + 1e-5   # centroid distance normalised
+        assert set(np.unique(ea[em][:, 4])) <= {0.0, 1.0}  # non-local flag
+
+    def test_nonlocal_edges_have_zero_shared_boundary(self, graph):
+        ea = np.asarray(graph.graph.edge_attr[0])
+        em = np.asarray(graph.graph.edge_mask[0]) > 0
+        nl = ea[em][:, 4] > 0
+        assert nl.any()
+        assert (ea[em][nl][:, 2] == 0).all()
+
+    def test_prior_in_unit_range(self, graph):
+        pr = graph.prior
+        assert np.isfinite(pr).all()
+        assert pr.min() >= 0 and pr.max() <= 1 + 1e-5
+        # fg-ness and bg-ness should not be identical fields.
+        assert not np.allclose(pr[:, 0], pr[:, 1])
+
+    def test_prior_peaks_on_contrasting_centre(self, circle_image):
+        img, mask = circle_image
+        rg = build_graph(img, SuperpixelGraphConfig(n_segments=100))
+        K = rg.n_nodes
+        counts = np.bincount(rg.segments.ravel(), minlength=K)
+        fg_cov = np.bincount(rg.segments.ravel(),
+                             weights=mask.ravel().astype(np.float64),
+                             minlength=K) / np.maximum(counts, 1)
+        fg_nodes = fg_cov > 0.8
+        bg_nodes = fg_cov < 0.2
+        assert fg_nodes.any() and bg_nodes.any()
+        # Disc regions should carry a clearly higher fg prior than border bg.
+        assert rg.prior[fg_nodes, 0].mean() > rg.prior[bg_nodes, 0].mean() + 0.2
+        assert rg.prior[bg_nodes, 1].mean() > rg.prior[fg_nodes, 1].mean() + 0.2
+
+    def test_connectivity_8_builds(self, test_image):
+        rg = build_graph(test_image, SuperpixelGraphConfig(
+            n_segments=60, connectivity=8))
+        em = np.asarray(rg.graph.edge_mask[0])
+        assert em.sum() > 0
+
+    def test_no_nonlocal_option(self, test_image):
+        rg = build_graph(test_image, SuperpixelGraphConfig(
+            n_segments=60, n_nonlocal=0))
+        ea = np.asarray(rg.graph.edge_attr[0])
+        em = np.asarray(rg.graph.edge_mask[0]) > 0
+        assert (ea[em][:, 4] == 0).all()
+
+    def test_node_areas_sum_to_one(self, graph):
+        areas = graph.node_areas
+        assert abs(areas.sum() - 1.0) < 1e-4
