@@ -204,3 +204,37 @@ def stack_graphs(graphs: list[GraphBatch]) -> GraphBatch:
     """Stack G=1 batches (with identical static budgets) into one batch."""
     assert graphs, "empty graph list"
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *graphs)
+
+
+def pad_graph(g: GraphBatch, max_nodes: int, max_edges: int) -> GraphBatch:
+    """Grow a batch's static (N, E) budgets; new slots are masked.
+
+    Needed to bucket graphs of different image sizes into one stacked
+    training batch (graphs built from the same signature already share
+    budgets).
+    """
+    dn = max_nodes - g.max_nodes
+    de = max_edges - g.max_edges
+    assert dn >= 0 and de >= 0, (g.max_nodes, max_nodes, g.max_edges,
+                                 max_edges)
+    if dn == 0 and de == 0:
+        return g
+
+    def pad(a, count, axis=1):
+        if count == 0:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, count)
+        return jnp.pad(a, widths)
+
+    return GraphBatch(
+        x=pad(g.x, dn),
+        edge_src=pad(g.edge_src, de),
+        edge_dst=pad(g.edge_dst, de),
+        edge_attr=pad(g.edge_attr, de),
+        node_mask=pad(g.node_mask, dn),
+        edge_mask=pad(g.edge_mask, de),
+        node_area=pad(g.node_area, dn),
+        fg_ratio=pad(g.fg_ratio, dn),
+        y=pad(g.y, dn),
+    )

@@ -1,0 +1,405 @@
+"""Data layer: descriptors, decoding, augmentation, label derivation, graph
+preparation with an on-disk cache, and the synthetic CI dataset.
+
+Counterpart of reference src/gcn_grabcut/dataset.py.  Key differences:
+
+* Graph construction runs on-device through the fused jit pipeline
+  (graph_build.py) — there is no process pool; XLA is the parallelism.
+  Host work is only image decode (cv2) and cache I/O.
+* Prepared samples are fixed-shape ``GraphBatch``es cached as .npz blobs
+  (content-keyed, atomically written — reference dataset.py:363-441).
+* Augmentation is seeded with a numpy RandomState per descriptor, so a
+  descriptor always yields the same pixels and can be cached like any other
+  (reference dataset.py:263-360).
+
+Sample dict schema (same as the reference, dataset.py:14-21):
+  {"image": (H, W, 3) RGB uint8, "gt_mask": (H, W) uint8 {0,1}, "name": str}
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+import zlib
+import logging
+from pathlib import Path
+from typing import Optional
+
+import cv2
+import numpy as np
+
+from ..core.graph import GraphBatch, CLASS_BG, CLASS_UNK, CLASS_FG
+from ..graph_build import SuperpixelGraphConfig, build_graph
+
+logger = logging.getLogger(__name__)
+
+
+# -----------------------------------------------------------------------
+# Augmentation (reference dataset.py:107-168), seeded via RandomState
+# -----------------------------------------------------------------------
+
+def augment_sample(image: np.ndarray, mask: np.ndarray,
+                   rng: np.random.RandomState,
+                   prob_flip: float = 0.5, prob_rotate: float = 0.3,
+                   prob_color: float = 0.5, prob_crop: float = 0.3):
+    """Stochastic flip / rotation / colour jitter / crop-zoom."""
+    H, W = image.shape[:2]
+
+    if rng.rand() < prob_flip:
+        image = image[:, ::-1].copy()
+        mask = mask[:, ::-1].copy()
+
+    if rng.rand() < prob_rotate:
+        angle = rng.uniform(-15, 15)
+        M = cv2.getRotationMatrix2D((W / 2, H / 2), angle, 1.0)
+        image = cv2.warpAffine(image, M, (W, H), flags=cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_REFLECT)
+        mask = cv2.warpAffine(mask.astype(np.uint8), M, (W, H),
+                              flags=cv2.INTER_NEAREST,
+                              borderMode=cv2.BORDER_REFLECT)
+
+    if rng.rand() < prob_color:
+        image = _color_jitter(image, rng)
+
+    if rng.rand() < prob_crop:
+        scale = rng.uniform(0.75, 1.0)
+        ch, cw = int(H * scale), int(W * scale)
+        y0 = rng.randint(0, H - ch + 1)
+        x0 = rng.randint(0, W - cw + 1)
+        image = cv2.resize(image[y0:y0 + ch, x0:x0 + cw], (W, H),
+                           interpolation=cv2.INTER_LINEAR)
+        mask = cv2.resize(mask[y0:y0 + ch, x0:x0 + cw], (W, H),
+                          interpolation=cv2.INTER_NEAREST)
+
+    return image, mask
+
+
+def _color_jitter(image: np.ndarray, rng: np.random.RandomState):
+    img = image.astype(np.float32)
+    img = np.clip(img + rng.uniform(-40, 40), 0, 255)
+    img = np.clip(128 + rng.uniform(0.7, 1.3) * (img - 128), 0, 255)
+    hsv = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2HSV)
+    hsv = hsv.astype(np.float32)
+    hsv[:, :, 1] = np.clip(hsv[:, :, 1] * rng.uniform(0.7, 1.3), 0, 255)
+    return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+
+# -----------------------------------------------------------------------
+# Label derivation (reference dataset.py:175-206)
+# -----------------------------------------------------------------------
+
+def derive_trimap_labels(segments: np.ndarray, gt_mask: np.ndarray,
+                         n_nodes: int, fg_threshold: float = 0.75,
+                         bg_threshold: float = 0.75) -> np.ndarray:
+    """Per-superpixel 3-class label by coverage ratio."""
+    flat = segments.ravel()
+    counts = np.bincount(flat, minlength=n_nodes).astype(np.float64)
+    fg_sum = np.bincount(flat, weights=(gt_mask.ravel() > 0).astype(
+        np.float64), minlength=n_nodes)
+    fg_ratio = fg_sum / np.maximum(counts, 1.0)
+
+    labels = np.full(n_nodes, CLASS_UNK, np.int64)
+    labels[fg_ratio >= fg_threshold] = CLASS_FG
+    labels[fg_ratio <= 1 - bg_threshold] = CLASS_BG
+    labels[counts == 0] = CLASS_UNK
+    return labels
+
+
+def node_fg_ratio(segments: np.ndarray, gt_mask: np.ndarray,
+                  n_nodes: int) -> np.ndarray:
+    flat = segments.ravel()
+    counts = np.bincount(flat, minlength=n_nodes).astype(np.float64)
+    fg_sum = np.bincount(flat, weights=(gt_mask.ravel() > 0).astype(
+        np.float64), minlength=n_nodes)
+    return (fg_sum / np.maximum(counts, 1.0)).astype(np.float32)
+
+
+# -----------------------------------------------------------------------
+# Prepared sample builder (reference dataset.py:213-260)
+# -----------------------------------------------------------------------
+
+def prepare_sample(sample: dict,
+                   sp_config: Optional[SuperpixelGraphConfig] = None,
+                   fg_threshold: float = 0.70,
+                   bg_threshold: float = 0.70,
+                   keep_segments: bool = True):
+    """Raw sample dict → (GraphBatch with y/fg_ratio, segments or None)."""
+    rg = build_graph(sample["image"], sp_config)
+    seg = rg.segments
+    k = rg.n_nodes
+    labels = derive_trimap_labels(seg, sample["gt_mask"], k,
+                                  fg_threshold, bg_threshold)
+    fgr = node_fg_ratio(seg, sample["gt_mask"], k)
+    g = rg.graph.replace(
+        y=np.asarray(labels, np.int32)[None],
+        fg_ratio=fgr[None],
+    )
+    return g, (seg if keep_segments else None)
+
+
+# -----------------------------------------------------------------------
+# Descriptors + decode (reference dataset.py:263-360)
+# -----------------------------------------------------------------------
+
+_IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+
+
+def list_image_mask_pairs(images_dir, masks_dir, max_size: int = 512,
+                          augment_copies: int = 0, seed: int = 0
+                          ) -> list[dict]:
+    """Enumerate pairs as descriptors (paths + resize target + aug seed) —
+    nothing is decoded here, so huge datasets cost kilobytes in the parent.
+    Aug seeds use crc32, which is stable across interpreter runs (unlike
+    salted str hashing)."""
+    images_dir, masks_dir = Path(images_dir), Path(masks_dir)
+    out, missing = [], 0
+    for img_path in sorted(p for p in images_dir.iterdir()
+                           if p.suffix.lower() in _IMAGE_EXTS):
+        mask_path = next((masks_dir / (img_path.stem + ext)
+                          for ext in (".png", ".jpg", ".bmp", ".tif")
+                          if (masks_dir / (img_path.stem + ext)).exists()),
+                         None)
+        if mask_path is None:
+            missing += 1
+            continue
+        base = dict(image_path=str(img_path), mask_path=str(mask_path),
+                    max_size=max_size)
+        out.append({**base, "name": img_path.stem, "aug_seed": None})
+        stem_id = zlib.crc32(img_path.stem.encode()) % 100003
+        for k in range(augment_copies):
+            out.append({**base, "name": f"{img_path.stem}_aug{k}",
+                        "aug_seed": seed + 1000003 * k + stem_id})
+    print(f"[Dataset] {len(out)} descriptors from {images_dir.name} "
+          f"({missing} without a mask)")
+    return out
+
+
+def materialise(sample: dict) -> Optional[dict]:
+    """Descriptor → decoded pixels with retries and seeded augmentation.
+
+    Decodes are retried (flaky/remote storage surfaces intermittent None
+    from cv2.imread — reference dataset.py:329-341); degenerate masks
+    (<200 px either class) are dropped."""
+    if "image" in sample and "gt_mask" in sample:
+        return sample
+
+    image = mask = None
+    for attempt in range(3):
+        image = cv2.imread(sample["image_path"])
+        mask = cv2.imread(sample["mask_path"], cv2.IMREAD_GRAYSCALE)
+        if image is not None and mask is not None:
+            break
+        time.sleep(0.05 * (attempt + 1))
+    if image is None or mask is None:
+        logger.warning("unreadable pair: %s", sample.get("image_path"))
+        return None
+
+    image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+    image, mask = _resize_pair(image, mask, sample.get("max_size", 512))
+    gt_mask = (mask > 127).astype(np.uint8)
+
+    if sample.get("aug_seed") is not None:
+        rng = np.random.RandomState(sample["aug_seed"] % (2 ** 31))
+        image, gt_mask = augment_sample(image, gt_mask, rng,
+                                        prob_flip=0.5, prob_rotate=0.4,
+                                        prob_color=0.6, prob_crop=0.4)
+
+    if gt_mask.sum() < 200 or (1 - gt_mask).sum() < 200:
+        return None
+    return {"image": image, "gt_mask": gt_mask,
+            "name": sample.get("name", "")}
+
+
+def _resize_pair(image, mask, max_size):
+    H, W = image.shape[:2]
+    scale = max_size / max(H, W)
+    if scale < 1.0:
+        nW, nH = int(W * scale), int(H * scale)
+        image = cv2.resize(image, (nW, nH), interpolation=cv2.INTER_LINEAR)
+        mask = cv2.resize(mask, (nW, nH), interpolation=cv2.INTER_NEAREST)
+    return image, mask
+
+
+# -----------------------------------------------------------------------
+# Cached dataset preparation (reference dataset.py:363-582)
+# -----------------------------------------------------------------------
+
+def _cache_key(sample: dict, cfg: SuperpixelGraphConfig,
+               fg_t: float, bg_t: float) -> str:
+    h = hashlib.sha1()
+    if "image" in sample:
+        h.update(np.ascontiguousarray(sample["image"]))
+        h.update(np.ascontiguousarray(sample["gt_mask"]))
+    else:
+        h.update(repr((sample["image_path"], sample["mask_path"],
+                       sample.get("max_size"),
+                       sample.get("aug_seed"))).encode())
+    h.update(repr((cfg.n_segments, cfg.compactness, cfg.sigma, cfg.use_lab,
+                   cfg.connectivity, cfg.n_nonlocal, cfg.slic_iters,
+                   fg_t, bg_t)).encode())
+    return h.hexdigest()[:20]
+
+
+_GRAPH_FIELDS = ("x", "edge_src", "edge_dst", "edge_attr", "node_mask",
+                 "edge_mask", "node_area", "fg_ratio", "y")
+
+
+def _save_cache(path: Path, g: GraphBatch, segments) -> None:
+    arrays = {f: np.asarray(getattr(g, f)) for f in _GRAPH_FIELDS}
+    if segments is not None:
+        arrays["segments"] = segments
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(f".{os.getpid()}.tmp.npz")
+    try:
+        with open(tmp, "wb") as f:
+            np.savez_compressed(f, **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        tmp.unlink(missing_ok=True)
+        raise
+
+
+def _load_cache(path: Path, keep_segments: bool):
+    with np.load(path) as z:
+        g = GraphBatch(**{f: z[f] for f in _GRAPH_FIELDS})
+        seg = z["segments"] if (keep_segments and "segments" in z) else None
+    return g, seg
+
+
+def prepare_dataset(samples: list[dict],
+                    sp_config: Optional[SuperpixelGraphConfig] = None,
+                    fg_threshold: float = 0.70, bg_threshold: float = 0.70,
+                    cache_dir=None, desc: str = "",
+                    keep_segments: bool = True) -> list[tuple]:
+    """Build (or load from cache) the graph for every sample.
+
+    Graph construction runs through the fused on-device pipeline; the cache
+    makes a second run start training immediately (reference
+    dataset.py:444-582).  One bad sample never kills the run — failures are
+    tallied and reported.
+    """
+    cfg = sp_config or SuperpixelGraphConfig()
+    records, failures = [], []
+    t0 = time.perf_counter()
+
+    for i, sample in enumerate(samples):
+        path = None
+        if cache_dir is not None:
+            path = Path(cache_dir) / (
+                _cache_key(sample, cfg, fg_threshold, bg_threshold) + ".npz")
+            if path.exists():
+                try:
+                    records.append(_load_cache(path, keep_segments))
+                    continue
+                except Exception:
+                    pass  # corrupt or stale cache entry — rebuild it
+        try:
+            mat = materialise(sample)
+            if mat is None:
+                failures.append(f"unreadable/degenerate: "
+                                f"{sample.get('name', i)}")
+                continue
+            g, seg = prepare_sample(mat, cfg, fg_threshold, bg_threshold,
+                                    keep_segments=True)
+            if path is not None:
+                _save_cache(path, g, seg)
+            records.append((g, seg if keep_segments else None))
+        except Exception as exc:   # noqa: BLE001 — isolate bad samples
+            failures.append(repr(exc))
+        if desc and (i + 1) % 500 == 0:
+            print(f"[Dataset] {desc}{i + 1}/{len(samples)} prepared "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+
+    print(f"[Dataset] {desc}{len(records)}/{len(samples)} graphs ready in "
+          f"{time.perf_counter() - t0:.1f}s"
+          + (f" (cache: {cache_dir})" if cache_dir else ""))
+    lost = len(samples) - len(records)
+    if lost:
+        distinct = list(dict.fromkeys(failures))
+        print(f"[Dataset] {desc}{lost} sample(s) missing from the result; "
+              f"{len(failures)} failure(s)")
+        for f in distinct[:3]:
+            print(f"[Dataset]   {f}")
+    return records
+
+
+# -----------------------------------------------------------------------
+# Synthetic dataset (the CI fixture — reference dataset.py:667-749)
+# -----------------------------------------------------------------------
+
+def make_synthetic_dataset(n: int = 200, size: int = 128, seed: int = 42
+                           ) -> list[dict]:
+    """Seeded geometric shapes (circle/rect/ellipse/ring/L) + noise."""
+    rng = np.random.RandomState(seed)
+    samples = []
+    for i in range(n):
+        img = rng.randint(20, 100, (size, size, 3), dtype=np.uint8)
+        mask = np.zeros((size, size), np.uint8)
+        shape = rng.choice(["circle", "rect", "ellipse", "ring", "Lshape"])
+        cx = rng.randint(size // 4, 3 * size // 4)
+        cy = rng.randint(size // 4, 3 * size // 4)
+        color = [int(c) for c in rng.randint(120, 240, 3)]
+
+        if shape == "circle":
+            r = rng.randint(size // 8, size // 3)
+            cv2.circle(img, (cx, cy), r, color, -1)
+            cv2.circle(mask, (cx, cy), r, 1, -1)
+        elif shape == "rect":
+            w = rng.randint(size // 6, size // 3)
+            h = rng.randint(size // 6, size // 3)
+            x1, y1 = max(0, cx - w // 2), max(0, cy - h // 2)
+            x2, y2 = min(size - 1, cx + w // 2), min(size - 1, cy + h // 2)
+            cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+            cv2.rectangle(mask, (x1, y1), (x2, y2), 1, -1)
+        elif shape == "ellipse":
+            a = rng.randint(size // 8, size // 3)
+            b = rng.randint(size // 12, size // 4)
+            ang = rng.randint(0, 180)
+            cv2.ellipse(img, (cx, cy), (a, b), ang, 0, 360, color, -1)
+            cv2.ellipse(mask, (cx, cy), (a, b), ang, 0, 360, 1, -1)
+        elif shape == "ring":
+            r_out = rng.randint(size // 5, size // 3)
+            r_in = r_out - rng.randint(size // 15, size // 8)
+            cv2.circle(img, (cx, cy), r_out, color, -1)
+            cv2.circle(mask, (cx, cy), r_out, 1, -1)
+            bg = [int(c) for c in rng.randint(20, 100, 3)]
+            cv2.circle(img, (cx, cy), max(r_in, 1), bg, -1)
+            cv2.circle(mask, (cx, cy), max(r_in, 1), 0, -1)
+        else:  # L-shape
+            w = rng.randint(size // 6, size // 3)
+            h = rng.randint(size // 6, size // 3)
+            t = max(size // 10, 5)
+            x1, y1 = max(0, cx - w // 2), max(0, cy - h // 2)
+            x2, y2 = min(size - 1, cx + w // 2), min(size - 1, cy + h // 2)
+            cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
+            cv2.rectangle(mask, (x1, y1), (x2, y2), 1, -1)
+            inner = [int(c) for c in rng.randint(20, 100, 3)]
+            cv2.rectangle(img, (x1 + t, y1 + t), (x2 - t, y2 - t), inner, -1)
+            cv2.rectangle(mask, (x1 + t, y1 + t), (x2 - t, y2 - t), 0, -1)
+
+        noise = rng.randint(-30, 30, img.shape).astype(np.int16)
+        img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        if mask.sum() == 0 or (1 - mask).sum() == 0:
+            continue
+        samples.append({"image": img, "gt_mask": mask,
+                        "name": f"synthetic_{i:04d}_{shape}"})
+    print(f"[Dataset] Generated {len(samples)} synthetic samples.")
+    return samples
+
+
+def split_dataset(samples: list, val_ratio: float = 0.15,
+                  test_ratio: float = 0.05, seed: int = 42):
+    """Shuffled train/val/test split (reference dataset.py:752-769)."""
+    rng = np.random.RandomState(seed)
+    data = list(samples)
+    rng.shuffle(data)
+    n = len(data)
+    n_test = max(1, int(n * test_ratio))
+    n_val = max(1, int(n * val_ratio))
+    test = data[:n_test]
+    val = data[n_test:n_test + n_val]
+    train = data[n_test + n_val:]
+    print(f"[Dataset] Split → train:{len(train)} val:{len(val)} "
+          f"test:{len(test)}")
+    return train, val, test

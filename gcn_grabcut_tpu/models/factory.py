@@ -1,0 +1,102 @@
+"""Model factory + shared prediction helpers.
+
+Mirrors the reference `build_model` (src/gcn_grabcut/model.py:593-620) and
+the trimap conversion helpers (model.py:623-678), with pixel projection as a
+device-side gather.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core.graph import (
+    GraphBatch, N_NODE_FEATS, N_EDGE_FEATS,
+    TRIMAP_BG, TRIMAP_FG, TRIMAP_PROB_BG, TRIMAP_PROB_FG,
+    CLASS_BG, CLASS_FG,
+)
+from .resgcn import ResGCNNet
+from .gcn import GCNTrimapNet
+from .gat import GATTrimapNet
+
+
+def build_model(variant: str = "resgcn",
+                in_channels: int = N_NODE_FEATS,
+                edge_channels: int = N_EDGE_FEATS,
+                hidden_channels: int = 128,
+                n_layers: int = 6,
+                n_classes: int = 3,
+                dropout: float = 0.2,
+                dtype: Optional[jnp.dtype] = None) -> nn.Module:
+    """variant: "resgcn" | "gcn" | "gat"."""
+    kw = dict(in_channels=in_channels, edge_channels=edge_channels,
+              hidden_channels=hidden_channels, n_classes=n_classes,
+              dropout=dropout, dtype=dtype)
+    if variant == "resgcn":
+        return ResGCNNet(**kw, n_layers=n_layers)
+    if variant == "gat":
+        return GATTrimapNet(**kw, n_layers=n_layers, n_heads=8)
+    if variant == "gcn":
+        return GCNTrimapNet(**kw, n_layers=n_layers)
+    raise ValueError(f"Unknown variant '{variant}'. Choose: resgcn|gcn|gat")
+
+
+def init_model(model: nn.Module, rng: jax.Array, example: GraphBatch) -> Any:
+    """Initialise parameters + batch_stats for a model."""
+    return model.init({"params": rng}, example, train=False)
+
+
+def apply_model(model: nn.Module, variables: Any, graph: GraphBatch,
+                train: bool = False, dropout_rng: Optional[jax.Array] = None):
+    """Forward pass.  In training mode returns (logits, new_batch_stats)."""
+    if train:
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        logits, updates = model.apply(
+            variables, graph, train=True, rngs=rngs,
+            mutable=["batch_stats"])
+        return logits, updates
+    return model.apply(variables, graph, train=False)
+
+
+def predict_probs(model: nn.Module, variables: Any, graph: GraphBatch
+                  ) -> jnp.ndarray:
+    """(G, N, 3) softmax class probabilities (eval mode)."""
+    logits = apply_model(model, variables, graph, train=False)
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def probs_to_node_trimap(probs: jnp.ndarray, threshold_fg: float = 0.55,
+                         threshold_bg: float = 0.55) -> jnp.ndarray:
+    """Per-region class probabilities → 4-label OpenCV-convention trimap.
+
+    Definite only above threshold, else the more likely probable side
+    (reference model.py:623-645).
+    """
+    bg_p = probs[..., CLASS_BG]
+    fg_p = probs[..., CLASS_FG]
+    labels = jnp.where(fg_p > bg_p, TRIMAP_PROB_FG, TRIMAP_PROB_BG)
+    labels = jnp.where(bg_p >= threshold_bg, TRIMAP_BG, labels)
+    labels = jnp.where(fg_p >= threshold_fg, TRIMAP_FG, labels)
+    return labels.astype(jnp.uint8)
+
+
+def project_to_pixels(node_values: jnp.ndarray, segments: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Broadcast per-region values to pixels: values[segments], O(HW) gather.
+
+    (reference model.py:648-661 — here the label space is static so no
+    padding is ever needed.)
+    """
+    return jnp.asarray(node_values)[segments]
+
+
+def probs_to_trimap(probs: jnp.ndarray, segments: jnp.ndarray,
+                    threshold_fg: float = 0.55, threshold_bg: float = 0.55
+                    ) -> np.ndarray:
+    """Per-superpixel probabilities (N, 3) → pixel trimap (H, W) uint8."""
+    node_labels = probs_to_node_trimap(probs, threshold_fg, threshold_bg)
+    return np.asarray(project_to_pixels(node_labels, segments))

@@ -1,0 +1,64 @@
+"""Checkpoint I/O: msgpack-serialised pytrees with JSON metadata.
+
+The reference persists torch state-dicts plus optimizer/scheduler/config
+(src/gcn_grabcut/trainer.py:386-412) and recovers architecture
+hyper-parameters from state-dict key shapes at load time
+(inference.py:81-86).  Here the metadata (variant, model kwargs, train
+config, epoch, score) is stored explicitly alongside the weights, and files
+are written atomically (tmp + os.replace) like the reference's graph cache
+(dataset.py:432-441).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str | Path, params: Any, batch_stats: Any,
+                    meta: Optional[dict] = None) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "params": jax.device_get(params),
+        "batch_stats": jax.device_get(batch_stats),
+        "meta_json": np.frombuffer(
+            json.dumps(meta or {}).encode(), dtype=np.uint8).copy(),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path.with_suffix(f".{os.getpid()}.tmp")
+    try:
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    except BaseException:
+        tmp.unlink(missing_ok=True)
+        raise
+
+
+def load_checkpoint(path: str | Path):
+    """Returns (params, batch_stats, meta dict)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    meta = json.loads(bytes(payload["meta_json"]).decode())
+    return payload["params"], payload["batch_stats"], meta
+
+
+def load_model_from_checkpoint(path: str | Path, dtype=None):
+    """Rebuild (model, variables, meta) from a checkpoint's own metadata —
+    the analog of the reference's shape-recovery trick (inference.py:81-86),
+    without needing to infer shapes."""
+    from ..models.factory import build_model
+    params, batch_stats, meta = load_checkpoint(path)
+    kwargs = dict(meta.get("model_kwargs", {}))
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    model = build_model(meta.get("variant", "resgcn"), **kwargs)
+    variables = {"params": params, "batch_stats": batch_stats}
+    return model, variables, meta

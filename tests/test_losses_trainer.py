@@ -1,0 +1,141 @@
+"""Loss semantics + trainer integration tests — the analog of the reference
+TestTrainer (reference: tests/test.py:357-423).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcn_grabcut_tpu.train.losses import (
+    focal_loss, label_smoothing_ce, trimap_loss,
+)
+
+
+def _logits_labels(n=20, seed=0):
+    r = np.random.RandomState(seed)
+    logits = jnp.asarray(r.randn(1, n, 3).astype(np.float32))
+    labels = jnp.asarray(r.randint(0, 3, (1, n)))
+    mask = jnp.ones((1, n), jnp.float32)
+    return logits, labels, mask
+
+
+class TestLossSemantics:
+    def test_losses_positive(self):
+        logits, labels, mask = _logits_labels()
+        assert float(focal_loss(logits, labels, mask)) > 0
+        assert float(label_smoothing_ce(logits, labels, mask)) > 0
+        assert float(trimap_loss(logits, labels, mask)) > 0
+
+    def test_area_weighting_penalises_large_regions_more(self):
+        """A mistake on a large region must cost more than the same mistake
+        on a sliver (reference tests/test.py:399-411)."""
+        n = 10
+        labels = jnp.zeros((1, n), jnp.int32)           # all BG
+        mask = jnp.ones((1, n), jnp.float32)
+        logits = jnp.tile(jnp.asarray([[3.0, 0.0, 0.0]]), (n, 1))[None]
+        # Mistake on node 0 only.
+        logits = logits.at[0, 0].set(jnp.asarray([0.0, 0.0, 3.0]))
+
+        big = jnp.full((1, n), 0.05).at[0, 0].set(0.55)   # node 0 large
+        small = jnp.full((1, n), 0.105).at[0, 0].set(0.055)
+
+        l_big = float(trimap_loss(logits, labels, mask, area=big,
+                                  dice_weight=0.0))
+        l_small = float(trimap_loss(logits, labels, mask, area=small,
+                                    dice_weight=0.0))
+        assert l_big > l_small
+
+    def test_dice_rewards_overlap(self):
+        """Higher predicted FG coverage on true-FG regions → lower loss
+        (reference tests/test.py:413-423)."""
+        n = 8
+        labels = jnp.asarray([[2] * 4 + [0] * 4])
+        mask = jnp.ones((1, n), jnp.float32)
+        fg_ratio = jnp.asarray([[1.0] * 4 + [0.0] * 4])
+
+        good = jnp.asarray(
+            [[[-2.0, -2.0, 2.0]] * 4 + [[2.0, -2.0, -2.0]] * 4])[0][None]
+        bad = jnp.asarray(
+            [[[2.0, -2.0, -2.0]] * 4 + [[-2.0, -2.0, 2.0]] * 4])[0][None]
+        l_good = float(trimap_loss(good, labels, mask, fg_ratio=fg_ratio))
+        l_bad = float(trimap_loss(bad, labels, mask, fg_ratio=fg_ratio))
+        assert l_good < l_bad
+
+    def test_zero_graph_weight_removes_contribution(self):
+        logits, labels, mask = _logits_labels()
+        l1 = float(trimap_loss(logits, labels, mask))
+        # Duplicate the graph with weight 0 — loss must be unchanged.
+        logits2 = jnp.concatenate([logits, logits * 7.0])
+        labels2 = jnp.concatenate([labels, labels])
+        mask2 = jnp.concatenate([mask, mask])
+        gw = jnp.asarray([1.0, 0.0])
+        l2 = float(trimap_loss(logits2, labels2, mask2, graph_weight=gw))
+        np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+    def test_padding_invariance(self):
+        logits, labels, mask = _logits_labels(n=10)
+        l1 = float(trimap_loss(logits, labels, mask))
+        pad = lambda a, v: jnp.concatenate(
+            [a, jnp.full((1, 6) + a.shape[2:], v, a.dtype)], axis=1)
+        l2 = float(trimap_loss(pad(logits, 9.0), pad(labels, 1),
+                               pad(mask, 0.0)))
+        np.testing.assert_allclose(l1, l2, rtol=1e-5)
+
+
+class TestTrainerIntegration:
+    @pytest.fixture(scope="class")
+    def prepared(self):
+        from gcn_grabcut_tpu.data.dataset import (
+            make_synthetic_dataset, prepare_dataset)
+        from gcn_grabcut_tpu.graph_build import SuperpixelGraphConfig
+        samples = make_synthetic_dataset(n=12, size=64, seed=7)
+        recs = prepare_dataset(samples, SuperpixelGraphConfig(n_segments=40),
+                               keep_segments=False)
+        return [r[0] for r in recs]
+
+    def test_three_epoch_fit(self, prepared, tmp_path_factory):
+        from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+        save_dir = tmp_path_factory.mktemp("ckpt")
+        tr = Trainer("resgcn", dict(hidden_channels=32, n_layers=2),
+                     TrainConfig(n_epochs=3, batch_size=4, bf16=False,
+                                 verbose=False, save_every=100),
+                     save_dir=save_dir)
+        hist = tr.fit(prepared[:9], prepared[9:])
+        assert len(hist["train_loss"]) == 3
+        assert hist["train_loss"][-1] < hist["train_loss"][0]
+        assert (save_dir / "final_model.msgpack").exists()
+        assert (save_dir / "history.json").exists()
+
+        # Checkpoint reload gives identical predictions.
+        from gcn_grabcut_tpu.train.checkpoints import (
+            load_model_from_checkpoint)
+        from gcn_grabcut_tpu.models import apply_model
+        m, vs, meta = load_model_from_checkpoint(
+            save_dir / "final_model.msgpack")
+        out1 = apply_model(m, vs, prepared[0], train=False)
+        out2 = tr.model.apply(
+            {"params": tr.state.params,
+             "batch_stats": tr.state.batch_stats},
+            prepared[0], train=False)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=1e-5)
+        assert meta["variant"] == "resgcn"
+
+    def test_empty_split_raises(self):
+        from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+        tr = Trainer("resgcn", dict(hidden_channels=16, n_layers=1),
+                     TrainConfig(n_epochs=1, bf16=False, verbose=False))
+        with pytest.raises(RuntimeError, match="no training graphs"):
+            tr.fit([])
+
+    def test_bf16_training_is_finite(self, prepared, tmp_path_factory):
+        from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+        tr = Trainer("resgcn", dict(hidden_channels=32, n_layers=2),
+                     TrainConfig(n_epochs=2, batch_size=4, bf16=True,
+                                 verbose=False, save_every=100),
+                     save_dir=tmp_path_factory.mktemp("ckpt_bf16"))
+        hist = tr.fit(prepared[:9], prepared[9:])
+        assert all(np.isfinite(hist["train_loss"]))
+        leaves = jax.tree.leaves(tr.state.params)
+        assert all(bool(jnp.isfinite(x).all()) for x in leaves)
