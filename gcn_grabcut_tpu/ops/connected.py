@@ -1,0 +1,109 @@
+"""Connected-component labelling + small-component mask clean-up in JAX.
+
+Replaces cv2.connectedComponentsWithStats (reference:
+src/gcn_grabcut/pipeline.py:189-227) with iterative min-label propagation —
+every sweep is an 8-neighbour min stencil, run under `lax.while_loop` until
+fixpoint, so it stays on-device with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEIGHBOURS_8 = ((-1, -1), (-1, 0), (-1, 1), (0, -1),
+                 (0, 1), (1, -1), (1, 0), (1, 1))
+_NEIGHBOURS_4 = ((-1, 0), (0, -1), (0, 1), (1, 0))
+
+
+def _shift(a, dy, dx, fill):
+    out = jnp.roll(a, (dy, dx), axis=(0, 1))
+    if dy == 1:
+        out = out.at[0, :].set(fill)
+    elif dy == -1:
+        out = out.at[-1, :].set(fill)
+    if dx == 1:
+        out = out.at[:, 0].set(fill)
+    elif dx == -1:
+        out = out.at[:, -1].set(fill)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity", "max_iters"))
+def connected_components(mask: jnp.ndarray, connectivity: int = 8,
+                         max_iters: int = 4096) -> jnp.ndarray:
+    """Label connected True-regions of `mask`; background gets label H*W.
+
+    Returns (H, W) int32 — each component is labelled by the minimum linear
+    index it contains.  Min-propagation with on-device fixpoint detection;
+    the iteration count is bounded by the component diameter.
+    """
+    H, W = mask.shape
+    bg = jnp.int32(H * W)
+    nbrs = _NEIGHBOURS_8 if connectivity == 8 else _NEIGHBOURS_4
+
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+           + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
+    labels0 = jnp.where(mask, idx, bg)
+
+    def body(state):
+        lab, _, it = state
+        new = lab
+        for dy, dx in nbrs:
+            new = jnp.minimum(new, _shift(lab, dy, dx, bg))
+        new = jnp.where(mask, new, bg)
+        return new, jnp.any(new < lab), it + 1
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels0, jnp.bool_(True), jnp.int32(0)))
+    return labels
+
+
+@functools.partial(jax.jit, static_argnames=("keep_largest",))
+def _clean_mask_jit(mask: jnp.ndarray, min_area: jnp.ndarray,
+                    keep_largest: bool) -> jnp.ndarray:
+    H, W = mask.shape
+    labels = connected_components(mask > 0, connectivity=8)
+    flat = labels.reshape(-1)
+    sizes = jax.ops.segment_sum(
+        (flat < H * W).astype(jnp.float32), jnp.minimum(flat, H * W - 1),
+        num_segments=H * W)
+    comp_size = sizes[jnp.minimum(flat, H * W - 1)].reshape(H, W)
+    comp_size = jnp.where(labels < H * W, comp_size, 0.0)
+
+    if keep_largest:
+        largest = jnp.max(comp_size)
+        keep = (comp_size >= largest) & (comp_size > 0)
+    else:
+        keep = comp_size >= min_area
+        # If everything was filtered out, fall back to the largest component
+        # (reference pipeline.py:222-226).
+        any_kept = jnp.any(keep)
+        largest = jnp.max(comp_size)
+        keep = jnp.where(any_kept, keep,
+                         (comp_size >= largest) & (comp_size > 0))
+    return keep.astype(jnp.uint8)
+
+
+def clean_mask(mask, min_area_ratio: float = 0.002,
+               keep_largest: bool = False):
+    """Remove spurious connected components from a binary mask.
+
+    Mirrors reference `clean_mask` (pipeline.py:189-227): components smaller
+    than `min_area_ratio` of the image are dropped (never all of them — the
+    largest survives), or only the largest is kept.
+    """
+    import numpy as np
+    mask = np.asarray(mask)
+    if mask.sum() == 0 or (min_area_ratio <= 0 and not keep_largest):
+        return mask
+    out = _clean_mask_jit(jnp.asarray(mask),
+                          jnp.float32(min_area_ratio * mask.size),
+                          keep_largest)
+    return np.asarray(out)

@@ -1,0 +1,169 @@
+"""GrabCut engine tests — analog of reference TestGrabCut
+(tests/test.py:31-82) plus min-cut optimality checks against brute force.
+"""
+
+import itertools
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gcn_grabcut_tpu import GrabCut, GrabCutConfig
+from gcn_grabcut_tpu.ops.maxflow import grid_mincut, OFFSETS_4, OFFSETS_8
+from gcn_grabcut_tpu.ops import gmm as gmm_ops
+
+
+def _cut_cost(excess, caps, offsets, lab):
+    src_cap = np.maximum(excess, 0)
+    snk_cap = np.maximum(-excess, 0)
+    H, W = excess.shape
+    cost = np.sum(snk_cap[lab == 1]) + np.sum(src_cap[lab == 0])
+    for c, (dy, dx) in zip(caps, offsets):
+        for y in range(H):
+            for x in range(W):
+                qy, qx = y + dy, x + dx
+                if 0 <= qy < H and 0 <= qx < W and lab[y, x] != lab[qy, qx]:
+                    cost += c[y, x]
+    return cost
+
+
+class TestMinCut:
+    @pytest.mark.parametrize("connectivity,offsets",
+                             [(4, OFFSETS_4), (8, OFFSETS_8)])
+    def test_optimal_vs_brute_force(self, connectivity, offsets):
+        r = np.random.RandomState(3)
+        for _ in range(4):
+            H, W = 3, 3
+            excess = (r.randn(H, W) * 3).astype(np.float32)
+            caps = tuple(r.rand(H, W).astype(np.float32) for _ in offsets)
+            fg = np.asarray(grid_mincut(
+                jnp.asarray(excess), tuple(map(jnp.asarray, caps)),
+                connectivity=connectivity))
+            best = min(
+                _cut_cost(excess, caps, offsets,
+                          np.array(bits).reshape(H, W))
+                for bits in itertools.product([0, 1], repeat=H * W))
+            ours = _cut_cost(excess, caps, offsets, fg.astype(int))
+            assert abs(ours - best) < 1e-4
+
+    def test_all_source_and_all_sink(self):
+        caps = tuple(jnp.ones((4, 4)) for _ in OFFSETS_4)
+        fg = np.asarray(grid_mincut(jnp.full((4, 4), 5.0), caps,
+                                    connectivity=4))
+        assert fg.all()
+        fg = np.asarray(grid_mincut(jnp.full((4, 4), -5.0), caps,
+                                    connectivity=4))
+        assert not fg.any()
+
+
+class TestGMM:
+    def test_fit_recovers_clusters(self):
+        r = np.random.RandomState(0)
+        a = r.randn(40, 40, 3) * 2 + np.array([10, 0, 0])
+        b = r.randn(40, 40, 3) * 2 + np.array([-10, 5, 0])
+        pix = jnp.asarray(np.concatenate([a, b], axis=0), jnp.float32)
+        sel = jnp.ones((80, 40))
+        comp = jnp.concatenate(
+            [jnp.zeros((40, 40), jnp.int32), jnp.ones((40, 40), jnp.int32)])
+        g = gmm_ops.fit_gmm(pix, sel, comp, 2)
+        means = np.asarray(g["means"])
+        np.testing.assert_allclose(means[0], [10, 0, 0], atol=0.5)
+        np.testing.assert_allclose(means[1], [-10, 5, 0], atol=0.5)
+        # log-prob should prefer the correct cluster
+        lp = np.asarray(gmm_ops.gmm_log_prob(pix, g))
+        assert np.isfinite(lp).all()
+
+    def test_kmeans_deterministic(self):
+        r = np.random.RandomState(1)
+        pix = jnp.asarray(r.rand(16, 16, 3), jnp.float32)
+        w = jnp.ones((16, 16))
+        l1 = np.asarray(gmm_ops.kmeans(pix, w, 3, seed=0))
+        l2 = np.asarray(gmm_ops.kmeans(pix, w, 3, seed=0))
+        np.testing.assert_array_equal(l1, l2)
+
+
+@pytest.fixture(scope="module")
+def circle(circle_image):
+    return circle_image
+
+
+class TestGrabCut:
+    def test_bbox_returns_binary(self, circle):
+        img, gt = circle
+        gc = GrabCut(img)
+        mask = gc.run_with_bbox((20, 20, 88, 88))
+        assert mask.shape == img.shape[:2]
+        assert set(np.unique(mask)) <= {0, 1}
+        m = np.logical_and(mask > 0, gt > 0).sum() / max(
+            np.logical_or(mask > 0, gt > 0).sum(), 1)
+        assert m > 0.85   # circle fixture is easy
+
+    def test_trimap_mode(self, circle):
+        img, gt = circle
+        trimap = np.full(img.shape[:2], 2, np.uint8)
+        cv2.circle(trimap, (64, 64), 44, 3, -1)
+        cv2.circle(trimap, (64, 64), 20, 1, -1)
+        trimap[:8, :] = 0
+        gc = GrabCut(img)
+        mask = gc.run_with_trimap(trimap)
+        iou = np.logical_and(mask > 0, gt > 0).sum() / max(
+            np.logical_or(mask > 0, gt > 0).sum(), 1)
+        assert iou > 0.85
+
+    @pytest.mark.parametrize("cs", ["rgb", "hsv", "lab"])
+    def test_colour_spaces(self, circle, cs):
+        img, _ = circle
+        gc = GrabCut(img, GrabCutConfig(n_iter=2, color_space=cs))
+        mask = gc.run_with_bbox((20, 20, 88, 88))
+        assert set(np.unique(mask)) <= {0, 1}
+        assert mask.sum() > 0
+
+    def test_snapshot_history(self, circle):
+        img, _ = circle
+        gc = GrabCut(img, GrabCutConfig(n_iter=2))
+        gc.run_with_bbox((20, 20, 88, 88))
+        gc.refine(1)
+        assert [s.tag for s in gc.history] == ["bbox_init", "refinement"]
+        assert gc.history[0].fg_pixels + gc.history[0].bg_pixels == \
+            img.shape[0] * img.shape[1]
+
+    def test_overlay_and_rgba_shapes(self, circle):
+        img, _ = circle
+        gc = GrabCut(img, GrabCutConfig(n_iter=1))
+        gc.run_with_bbox((20, 20, 88, 88))
+        assert gc.overlay_mask().shape == img.shape
+        assert gc.crop_foreground().shape == (*img.shape[:2], 4)
+
+    def test_degenerate_trimap_no_crash(self, circle):
+        img, _ = circle
+        gc = GrabCut(img)
+        mask = gc.run_with_trimap(np.full(img.shape[:2], 3, np.uint8))
+        assert mask.all()
+        assert gc.history[-1].tag == "trimap_degenerate"
+
+    def test_shape_mismatch_raises(self, circle):
+        img, _ = circle
+        with pytest.raises(ValueError):
+            GrabCut(img).run_with_trimap(np.zeros((10, 10), np.uint8))
+
+    def test_refine_before_run_raises(self, circle):
+        img, _ = circle
+        with pytest.raises(RuntimeError):
+            GrabCut(img).refine(1)
+
+    def test_agreement_with_cv2(self, circle):
+        """The TPU solver must produce masks equivalent to OpenCV's C++
+        implementation on an easy fixture (IoU parity, not bit equality)."""
+        img, _ = circle
+        ours = GrabCut(img).run_with_bbox((20, 20, 88, 88))
+        bgr = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+        cvmask = np.zeros(img.shape[:2], np.uint8)
+        bgd = np.zeros((1, 65), np.float64)
+        fgd = np.zeros((1, 65), np.float64)
+        cv2.grabCut(bgr, cvmask, (20, 20, 88, 88), bgd, fgd, 5,
+                    cv2.GC_INIT_WITH_RECT)
+        theirs = np.where((cvmask == 1) | (cvmask == 3), 1, 0)
+        inter = np.logical_and(ours > 0, theirs > 0).sum()
+        union = np.logical_or(ours > 0, theirs > 0).sum()
+        assert inter / max(union, 1) > 0.9

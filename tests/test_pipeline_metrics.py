@@ -1,0 +1,141 @@
+"""Metrics + connected components + end-to-end pipeline tests — analogs of
+reference TestMetrics (tests/test.py:204-248) and TestPipeline
+(tests/test.py:428-471).
+"""
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+from gcn_grabcut_tpu import (
+    build_model, init_model, build_graph, SuperpixelGraphConfig,
+    GCNGrabCutPipeline, GrabCutConfig, evaluate, evaluate_trimap,
+    evaluate_batch, boundary_f1,
+)
+from gcn_grabcut_tpu.ops.connected import connected_components, clean_mask
+
+
+class TestMetrics:
+    def test_perfect_prediction(self):
+        m = np.zeros((32, 32), np.uint8)
+        m[8:24, 8:24] = 1
+        s = evaluate(m, m)
+        assert s.iou == pytest.approx(1.0, abs=1e-5)
+        assert s.dice == pytest.approx(1.0, abs=1e-5)
+        assert s.pixel_accuracy == pytest.approx(1.0, abs=1e-5)
+
+    def test_zero_prediction(self):
+        gt = np.zeros((32, 32), np.uint8)
+        gt[8:24, 8:24] = 1
+        s = evaluate(np.zeros_like(gt), gt)
+        assert s.iou < 1e-6 and s.recall < 1e-6
+
+    def test_boundary_f1_identity(self):
+        m = np.zeros((32, 32), np.uint8)
+        m[8:24, 8:24] = 1
+        assert boundary_f1(m, m) == pytest.approx(1.0, abs=1e-5)
+
+    def test_trimap_metrics(self):
+        gt = np.zeros((32, 32), np.uint8)
+        gt[8:24, 8:24] = 1
+        trimap = np.full((32, 32), 2, np.uint8)
+        trimap[8:24, 8:24] = 1       # definite FG = exactly GT
+        tm = evaluate_trimap(trimap, gt)
+        assert tm.fg_recall == pytest.approx(1.0, abs=1e-4)
+        assert tm.fg_precision == pytest.approx(1.0, abs=1e-4)
+        assert tm.bg_contamination == pytest.approx(0.0, abs=1e-6)
+        assert 0 <= tm.unknown_fraction <= 1
+
+    def test_as_dict_and_batch(self):
+        m = np.zeros((16, 16), np.uint8)
+        m[4:10, 4:10] = 1
+        d = evaluate(m, m).as_dict()
+        assert set(d) == {"iou", "dice", "precision", "recall", "f1",
+                          "pixel_accuracy", "boundary_f1"}
+        agg = evaluate_batch([
+            {"binary_mask": m, "gt_mask": m},
+            {"binary_mask": np.zeros_like(m), "gt_mask": m},
+        ])
+        assert agg["n"] == 2
+        assert 0 < agg["mean_iou"] < 1
+
+
+class TestConnectedComponents:
+    def test_two_blobs(self):
+        m = np.zeros((24, 24), bool)
+        m[2:8, 2:8] = True
+        m[14:20, 14:20] = True
+        lab = np.asarray(connected_components(jax.numpy.asarray(m)))
+        ids = np.unique(lab[m])
+        assert len(ids) == 2
+        assert (lab[~m] == 24 * 24).all()
+
+    def test_clean_mask_drops_small(self):
+        m = np.zeros((64, 64), np.uint8)
+        m[8:40, 8:40] = 1          # big: 1024 px
+        m[50:52, 50:52] = 1        # tiny: 4 px
+        out = clean_mask(m, min_area_ratio=0.01)
+        assert out[10, 10] == 1 and out[51, 51] == 0
+
+    def test_clean_mask_keep_largest(self):
+        m = np.zeros((64, 64), np.uint8)
+        m[8:30, 8:30] = 1
+        m[40:60, 40:60] = 1
+        out = clean_mask(m, keep_largest=True)
+        assert out[10, 10] == 1 and out[50, 50] == 0
+
+    def test_clean_mask_never_empties(self):
+        m = np.zeros((64, 64), np.uint8)
+        m[10:13, 10:13] = 1        # below threshold, but sole component
+        out = clean_mask(m, min_area_ratio=0.1)
+        assert out.sum() == m.sum()
+
+    def test_empty_mask_passthrough(self):
+        m = np.zeros((16, 16), np.uint8)
+        assert clean_mask(m, 0.01).sum() == 0
+
+
+class TestPipeline:
+    @pytest.fixture(scope="class")
+    def pipe(self, circle_image):
+        img, _ = circle_image
+        model = build_model("resgcn", hidden_channels=32, n_layers=2)
+        g = build_graph(img, SuperpixelGraphConfig(n_segments=80)).graph
+        vs = init_model(model, jax.random.PRNGKey(0), g)
+        return GCNGrabCutPipeline(
+            model, vs, SuperpixelGraphConfig(n_segments=80),
+            GrabCutConfig(n_iter=2))
+
+    def test_segment_returns_result(self, pipe, circle_image):
+        img, gt = circle_image
+        res = pipe.segment(img)
+        assert res.binary_mask.shape == img.shape[:2]
+        assert set(np.unique(res.binary_mask)) <= {0, 1}
+        assert set(np.unique(res.trimap)) <= {0, 1, 2, 3}
+        assert res.overlay.shape == img.shape
+        assert res.rgba.shape == (*img.shape[:2], 4)
+        assert set(res.timing) == {"graph_build", "gcn_inference",
+                                   "grabcut", "postprocess"}
+        seg_m, tri_m = res.evaluate_against(gt)
+        assert 0 <= seg_m.iou <= 1
+        assert 0 <= tri_m.trimap_accuracy <= 1
+
+    def test_segment_not_edge_aware(self, pipe, circle_image):
+        img, _ = circle_image
+        res = pipe.segment(img, edge_aware=False)
+        assert set(np.unique(res.trimap)) <= {0, 1, 2, 3}
+
+    def test_segment_bbox_baseline(self, pipe, circle_image):
+        img, gt = circle_image
+        res = pipe.segment_bbox(img, (20, 20, 88, 88))
+        m, _ = res.evaluate_against(gt)
+        assert m.iou > 0.8   # easy fixture
+
+    def test_keep_largest_option(self, pipe, circle_image):
+        img, _ = circle_image
+        res = pipe.segment(img, keep_largest=True)
+        lab = np.asarray(connected_components(
+            jax.numpy.asarray(res.binary_mask > 0)))
+        fg_ids = np.unique(lab[res.binary_mask > 0])
+        assert len(fg_ids) <= 1
