@@ -1,0 +1,112 @@
+"""Inference CLI — counterpart of reference inference.py.
+
+Examples
+--------
+python -m gcn_grabcut_tpu.cli.inference --checkpoint ckpt/best_model.msgpack \
+    --input photo.jpg --output-dir out/
+python -m gcn_grabcut_tpu.cli.inference --checkpoint ckpt/best_model.msgpack \
+    --input images_dir/ --save mask overlay
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import cv2
+import numpy as np
+
+_IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Segment images with a trained GCN-GrabCut model (TPU)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--input", required=True,
+                   help="an image file or a directory of images")
+    p.add_argument("--output-dir", type=str, default="outputs")
+    p.add_argument("--n-segments", type=int, default=500)
+    p.add_argument("--max-size", type=int, default=512)
+    p.add_argument("--threshold", type=float, default=0.65)
+    p.add_argument("--filter-radius", type=int, default=4)
+    p.add_argument("--refine-iters", type=int, default=0)
+    p.add_argument("--keep-largest", action="store_true")
+    p.add_argument("--no-edge-aware", action="store_true")
+    p.add_argument("--save", nargs="+", default=["mask", "overlay"],
+                   choices=["mask", "overlay", "rgba", "trimap"])
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..train.checkpoints import load_model_from_checkpoint
+    from ..pipeline import GCNGrabCutPipeline, colour_trimap
+    from ..graph_build import SuperpixelGraphConfig
+
+    model, variables, meta = load_model_from_checkpoint(args.checkpoint)
+    print(f"[Inference] Loaded {meta.get('variant', '?')} "
+          f"(epoch {meta.get('epoch', '?')}, "
+          f"score {meta.get('score', '?')})")
+
+    pipe = GCNGrabCutPipeline(
+        model, variables,
+        SuperpixelGraphConfig(n_segments=args.n_segments))
+
+    inp = Path(args.input)
+    files = ([inp] if inp.is_file() else
+             sorted(p for p in inp.iterdir()
+                    if p.suffix.lower() in _IMAGE_EXTS))
+    if not files:
+        raise SystemExit(f"no images found at {inp}")
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    for f in files:
+        bgr = cv2.imread(str(f))
+        if bgr is None:
+            print(f"[Inference] unreadable: {f}")
+            continue
+        img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        H, W = img.shape[:2]
+        scale = args.max_size / max(H, W)
+        if scale < 1.0:
+            img = cv2.resize(img, (int(W * scale), int(H * scale)),
+                             interpolation=cv2.INTER_LINEAR)
+
+        t = time.perf_counter()
+        res = pipe.segment(
+            img, threshold_fg=args.threshold, threshold_bg=args.threshold,
+            refine_iters=args.refine_iters, keep_largest=args.keep_largest,
+            edge_aware=not args.no_edge_aware,
+            filter_radius=args.filter_radius)
+        total = time.perf_counter() - t
+
+        stages = "  ".join(f"{k}={v:.2f}s" for k, v in res.timing.items())
+        print(f"[Inference] {f.name}: {total:.2f}s ({stages}) "
+              f"fg={res.binary_mask.mean():.1%}")
+
+        stem = out_dir / f.stem
+        if "mask" in args.save:
+            cv2.imwrite(f"{stem}_mask.png", res.binary_mask * 255)
+        if "overlay" in args.save:
+            cv2.imwrite(f"{stem}_overlay.png",
+                        cv2.cvtColor(res.overlay, cv2.COLOR_RGB2BGR))
+        if "rgba" in args.save:
+            cv2.imwrite(f"{stem}_rgba.png",
+                        cv2.cvtColor(res.rgba, cv2.COLOR_RGBA2BGRA))
+        if "trimap" in args.save:
+            cv2.imwrite(f"{stem}_trimap.png",
+                        cv2.cvtColor(colour_trimap(res.trimap),
+                                     cv2.COLOR_RGB2BGR))
+    print(f"[Inference] Outputs → {out_dir}")
+
+
+if __name__ == "__main__":
+    main()

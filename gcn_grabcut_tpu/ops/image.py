@@ -37,12 +37,16 @@ def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
 
 
 # D65 reference white, matching skimage.color.rgb2lab defaults.
-_XYZ_FROM_RGB = jnp.array([
+# Kept as numpy so importing this module never initialises a JAX backend
+# (device selection must stay under the caller's control).
+import numpy as _np  # noqa: E402
+
+_XYZ_FROM_RGB = _np.array([
     [0.412453, 0.357580, 0.180423],
     [0.212671, 0.715160, 0.072169],
     [0.019334, 0.119193, 0.950227],
-], jnp.float32)
-_WHITE_D65 = jnp.array([0.95047, 1.0, 1.08883], jnp.float32)
+], _np.float32)
+_WHITE_D65 = _np.array([0.95047, 1.0, 1.08883], _np.float32)
 
 
 def rgb_to_lab(rgb: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,157 @@
+"""CLI end-to-end smoke tests + multi-device sharding tests (8 virtual CPU
+devices, see conftest).
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+import cv2
+import jax
+import numpy as np
+import pytest
+
+
+class TestParallel:
+    def test_mesh_and_shardings(self):
+        from gcn_grabcut_tpu.parallel.mesh import (
+            make_mesh, shard_graph_batch)
+        from gcn_grabcut_tpu.core.graph import single_graph, stack_graphs
+        mesh = make_mesh(n_data=4, n_graph=2)
+        assert mesh.devices.shape == (4, 2)
+
+        r = np.random.RandomState(0)
+        gs = []
+        for _ in range(8):
+            x = r.randn(10, 19).astype(np.float32)
+            src = np.concatenate([np.arange(9), np.arange(1, 10)])
+            dst = np.concatenate([np.arange(1, 10), np.arange(9)])
+            gs.append(single_graph(x, src, dst,
+                                   r.rand(18, 5).astype(np.float32)))
+        batch = stack_graphs(gs)
+        sharded = shard_graph_batch(batch, mesh)
+        assert sharded.x.sharding.spec[0] == "data"
+
+    def test_edge_partitioned_aggregation_matches_dense(self):
+        from gcn_grabcut_tpu.parallel.mesh import make_mesh
+        from gcn_grabcut_tpu.parallel.partition import (
+            partition_edges_by_dst, sharded_scatter_add)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import jax.numpy as jnp
+
+        mesh = make_mesh(n_data=2, n_graph=4)
+        r = np.random.RandomState(1)
+        n, e, d = 32, 120, 8
+        src = r.randint(0, n, e).astype(np.int32)
+        dst = r.randint(0, n, e).astype(np.int32)
+        mask = (r.rand(e) > 0.1).astype(np.float32)
+        x = r.randn(n, d).astype(np.float32)
+
+        psrc, pdst, pmask = partition_edges_by_dst(src, dst, mask, n, 4)
+        agg = sharded_scatter_add(mesh, n)
+        sh_n = NamedSharding(mesh, P("graph", None))
+        sh_e = NamedSharding(mesh, P("graph"))
+        with mesh:
+            out = jax.jit(agg)(
+                jax.device_put(jnp.asarray(x), sh_n),
+                jax.device_put(jnp.asarray(psrc), sh_e),
+                jax.device_put(jnp.asarray(pdst), sh_e),
+                jax.device_put(jnp.asarray(pmask), sh_e))
+        ref = np.zeros_like(x)
+        np.add.at(ref, dst[mask > 0], x[src[mask > 0]])
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+    def test_dryrun_multichip(self):
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        import __graft_entry__ as ge
+        ge.dryrun_multichip(8)
+
+    def test_entry_compiles(self):
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+        import __graft_entry__ as ge
+        fn, (variables, batch) = ge.entry()
+        out = jax.jit(fn)(variables, batch)
+        assert out.shape[-1] == 3
+
+
+class TestCLIs:
+    def test_train_cli_synthetic(self, tmp_path):
+        from gcn_grabcut_tpu.cli.train import main
+        hist = main([
+            "--synthetic", "10", "--epochs", "2", "--batch", "4",
+            "--hidden", "24", "--layers", "2", "--n-segments", "40",
+            "--save-dir", str(tmp_path / "ckpt"), "--no-bf16",
+        ])
+        assert len(hist["train_loss"]) == 2
+        assert (tmp_path / "ckpt" / "final_model.msgpack").exists()
+
+    def test_inference_cli(self, tmp_path, circle_image):
+        from gcn_grabcut_tpu.cli.train import main as train_main
+        from gcn_grabcut_tpu.cli.inference import main as infer_main
+
+        train_main([
+            "--synthetic", "8", "--epochs", "1", "--batch", "4",
+            "--hidden", "24", "--layers", "2", "--n-segments", "40",
+            "--save-dir", str(tmp_path / "ckpt"), "--no-bf16",
+        ])
+        img, _ = circle_image
+        img_path = tmp_path / "img.png"
+        cv2.imwrite(str(img_path), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        infer_main([
+            "--checkpoint", str(tmp_path / "ckpt" / "final_model.msgpack"),
+            "--input", str(img_path),
+            "--output-dir", str(tmp_path / "out"),
+            "--n-segments", "60",
+            "--save", "mask", "overlay", "trimap",
+        ])
+        assert (tmp_path / "out" / "img_mask.png").exists()
+        assert (tmp_path / "out" / "img_overlay.png").exists()
+        assert (tmp_path / "out" / "img_trimap.png").exists()
+
+    def test_prepare_graphs_cli(self, tmp_path, circle_image):
+        from gcn_grabcut_tpu.cli.prepare_graphs import main
+        img, mask = circle_image
+        (tmp_path / "imgs").mkdir()
+        (tmp_path / "masks").mkdir()
+        for i in range(2):
+            cv2.imwrite(str(tmp_path / "imgs" / f"s{i}.png"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(str(tmp_path / "masks" / f"s{i}.png"), mask * 255)
+        main(["--images", str(tmp_path / "imgs"),
+              "--masks", str(tmp_path / "masks"),
+              "--cache-dir", str(tmp_path / "cache"),
+              "--n-segments", "40"])
+        cached = list((tmp_path / "cache").glob("*.npz"))
+        assert len(cached) == 2
+
+
+class TestVisualise:
+    def test_all_plots_write_files(self, tmp_path, circle_image):
+        from gcn_grabcut_tpu import visualise as vz
+        from gcn_grabcut_tpu import build_graph, SuperpixelGraphConfig
+        img, gt = circle_image
+        rg = build_graph(img, SuperpixelGraphConfig(n_segments=60))
+
+        hist = {"train_loss": [3, 2, 1], "val_loss": [3, 2.5, 2],
+                "val_acc": [0.5, 0.6, 0.7], "val_iou_fg": [0.2, 0.3, 0.4],
+                "val_score": [0.3, 0.4, 0.5], "lr": [1e-3, 5e-4, 1e-4]}
+        vz.plot_training_curves(hist, tmp_path / "curves.png")
+
+        trimap = np.random.RandomState(0).randint(
+            0, 4, img.shape[:2]).astype(np.uint8)
+        vz.plot_trimap_comparison(img, trimap, gt, gt, tmp_path / "cmp.png")
+        vz.plot_graph_overlay(
+            img, rg.segments, rg.centroids,
+            np.asarray(rg.graph.edge_src[0]),
+            np.asarray(rg.graph.edge_dst[0]),
+            np.asarray(rg.graph.edge_mask[0]), tmp_path / "graph.png")
+        preds = np.random.RandomState(0).randint(0, 3, 100)
+        labels = np.random.RandomState(1).randint(0, 3, 100)
+        vz.plot_confusion_matrix(preds, labels, tmp_path / "cm.png")
+        vz.save_research_report(
+            [{"image": img, "trimap": trimap, "binary_mask": gt,
+              "gt_mask": gt}], tmp_path / "report.png")
+        for f in ("curves.png", "cmp.png", "graph.png", "cm.png",
+                  "report.png"):
+            assert (tmp_path / f).stat().st_size > 0
