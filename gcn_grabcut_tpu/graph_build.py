@@ -59,6 +59,49 @@ class RegionGraph:
     def node_areas(self) -> np.ndarray:
         return np.asarray(self.graph.node_area[0])
 
+    def node_input(self) -> np.ndarray:
+        """Full (K, 19) node input = 16 image features ‖ 3-d prior
+        (the analog of reference SuperpixelGraph.node_input,
+        graph_builder.py:93-98; here the prior is already concatenated)."""
+        return np.asarray(self.graph.x[0])
+
+    def edges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(edge_index (2, E_valid), edge_attr (E_valid, 5)) over valid
+        edges only."""
+        em = np.asarray(self.graph.edge_mask[0]) > 0
+        src = np.asarray(self.graph.edge_src[0])[em]
+        dst = np.asarray(self.graph.edge_dst[0])[em]
+        attr = np.asarray(self.graph.edge_attr[0])[em]
+        return np.stack([src, dst]), attr, em
+
+    def to_networkx(self):
+        """Export the valid subgraph to networkx (undirected), with `feat`
+        node attributes — mirror of graph_builder.py:100-108."""
+        import networkx as nx
+        x = self.node_input()
+        mask = self.node_mask > 0
+        G = nx.Graph()
+        for i in np.nonzero(mask)[0]:
+            G.add_node(int(i), feat=x[i])
+        edge_index, attr, _ = self.edges()
+        for (s, d), a in zip(edge_index.T, attr):
+            if s < d:
+                G.add_edge(int(s), int(d), attr=a)
+        return G
+
+    def to_torch(self) -> dict:
+        """Export to torch tensors in the PyG Data layout (x, edge_index,
+        edge_attr, node_area) for interop / parity harnesses — the analog
+        of SuperpixelGraph.to_pyg (graph_builder.py:110-129)."""
+        import torch
+        edge_index, attr, _ = self.edges()
+        return dict(
+            x=torch.tensor(self.node_input(), dtype=torch.float32),
+            edge_index=torch.tensor(edge_index, dtype=torch.long),
+            edge_attr=torch.tensor(attr, dtype=torch.float32),
+            node_area=torch.tensor(self.node_areas, dtype=torch.float32),
+        )
+
 
 def num_nodes_for(h: int, w: int, cfg: SuperpixelGraphConfig) -> int:
     return slic_ops.slic_num_labels(h, w, cfg.n_segments)

@@ -60,6 +60,7 @@ class TrainConfig:
     save_every: int = 5
     verbose: bool = True
     seed: int = 0
+    log_dir: Optional[str] = None     # TensorBoard scalars when set
 
 
 class TrainState(struct.PyTreeNode):
@@ -204,6 +205,15 @@ class Trainer:
         self._schedule = None
         self.state: Optional[TrainState] = None
 
+        self._tb = None
+        if self.cfg.log_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(self.cfg.log_dir)
+            except ImportError:
+                print("[Trainer] tensorboard unavailable; skipping TB "
+                      "logging.")
+
     # ------------------------------------------------------------------
 
     def _bucket(self, graphs: Sequence[GraphBatch]) -> GraphBatch:
@@ -331,6 +341,12 @@ class Trainer:
                     self.history[f"val_{k}"].append(vm[k])
                 self._plateau_update(vm["loss"])
 
+                if self._tb:
+                    self._tb.add_scalar("val/loss", vm["loss"], epoch)
+                    self._tb.add_scalar("val/acc", vm["acc"], epoch)
+                    self._tb.add_scalar("val/iou_fg", vm["iou_fg"], epoch)
+                    self._tb.add_scalar("val/score", vm["score"], epoch)
+
                 if vm["score"] > self._best_score:
                     self._best_score = vm["score"]
                     self._patience = 0
@@ -359,11 +375,17 @@ class Trainer:
                       f"train_loss={train_loss:.4f} | "
                       f"lr={self._current_lr():.2e}")
 
+            if self._tb:
+                self._tb.add_scalar("train/loss", train_loss, epoch)
+                self._tb.add_scalar("train/lr", self._current_lr(), epoch)
+
             if epoch % cfg.save_every == 0:
                 self.save(f"epoch_{epoch:04d}.msgpack", epoch=epoch)
 
         self.save("final_model.msgpack", epoch=cfg.n_epochs)
         self._save_history()
+        if self._tb:
+            self._tb.close()
         return self.history
 
     def _eval_epoch(self, val_data: GraphBatch) -> dict:
