@@ -37,11 +37,16 @@ from .ops.maxflow import grid_mincut, OFFSETS_8
 
 @dataclasses.dataclass
 class GrabCutConfig:
-    """Mirror of the reference config (grabcut.py:30-35)."""
+    """Mirror of the reference config (grabcut.py:30-35), plus the solver
+    backend: "device" runs the fully-fused jit (TPU), "native" keeps the
+    GMMs on device but solves the min-cut with the C++ push-relabel
+    (native/maxflow.cpp — the fast host path), "auto" picks native on CPU
+    backends and the fused path on accelerators."""
     n_iter: int = 5
     n_components: int = 5
     gamma: float = 50.0
     color_space: str = "rgb"   # "rgb" | "hsv" | "lab"
+    backend: str = "auto"      # "auto" | "device" | "native"
 
 
 @dataclasses.dataclass
@@ -137,6 +142,47 @@ def _grabcut_solve(pix: jnp.ndarray, mask: jnp.ndarray, comp0: jnp.ndarray,
     return mask, comp
 
 
+def _grabcut_solve_native(pix: np.ndarray, mask: np.ndarray,
+                          comp0: np.ndarray, gamma: float, n_iter: int,
+                          n_components: int):
+    """Host-path iteration: GMM steps through the (jit) device functions,
+    min-cut through the native C++ solver."""
+    from .native import grid_mincut_native
+
+    pixj = jnp.asarray(pix, jnp.float32)
+    caps, _ = _pairwise_caps(pixj, gamma)
+    caps_np = tuple(np.asarray(c) for c in caps)
+    lam = 9.0 * gamma
+    mask = np.asarray(mask).copy()
+    comp = np.asarray(comp0)
+
+    for _ in range(n_iter):
+        fg_sel = (mask == TRIMAP_FG) | (mask == TRIMAP_PROB_FG)
+        fg_j = jnp.asarray(fg_sel, jnp.float32)
+        bg_j = 1.0 - fg_j
+        compj = jnp.asarray(comp)
+        fg_gmm = gmm_ops.fit_gmm(pixj, fg_j, compj, n_components)
+        bg_gmm = gmm_ops.fit_gmm(pixj, bg_j, compj, n_components)
+        fg_comp = gmm_ops.assign_components(pixj, fg_gmm)
+        bg_comp = gmm_ops.assign_components(pixj, bg_gmm)
+        compj = jnp.where(fg_j > 0, fg_comp, bg_comp)
+        fg_gmm = gmm_ops.fit_gmm(pixj, fg_j, compj, n_components)
+        bg_gmm = gmm_ops.fit_gmm(pixj, bg_j, compj, n_components)
+        comp = np.asarray(compj)
+
+        log_fg = np.asarray(gmm_ops.gmm_log_prob(pixj, fg_gmm))
+        log_bg = np.asarray(gmm_ops.gmm_log_prob(pixj, bg_gmm))
+        excess = np.clip(log_fg - log_bg, -lam, lam).astype(np.float32)
+        excess[mask == TRIMAP_FG] = lam
+        excess[mask == TRIMAP_BG] = -lam
+
+        fg_side = grid_mincut_native(excess, caps_np, connectivity=8)
+        probable = (mask == TRIMAP_PROB_BG) | (mask == TRIMAP_PROB_FG)
+        mask[probable & fg_side] = TRIMAP_PROB_FG
+        mask[probable & ~fg_side] = TRIMAP_PROB_BG
+    return mask, comp
+
+
 class GrabCut:
     """TPU GrabCut with the reference wrapper's API (grabcut.py:48-204).
 
@@ -156,6 +202,30 @@ class GrabCut:
         self._comp: Optional[np.ndarray] = None
         self.history: List[GrabCutSnapshot] = []
         self._proc = self._preprocess(image)
+        self._backend = self._pick_backend(self.config.backend)
+
+    @staticmethod
+    def _pick_backend(backend: str) -> str:
+        if backend != "auto":
+            return backend
+        try:
+            on_accel = jax.devices()[0].platform != "cpu"
+        except Exception:
+            on_accel = False
+        if on_accel:
+            return "device"
+        from .native import native_available
+        return "native" if native_available() else "device"
+
+    def _solve(self, pix, mask, comp0, n_iter):
+        if self._backend == "native":
+            return _grabcut_solve_native(
+                np.asarray(pix), np.asarray(mask), np.asarray(comp0),
+                self.config.gamma, n_iter, self.config.n_components)
+        mask, comp = _grabcut_solve(
+            jnp.asarray(pix), jnp.asarray(mask), jnp.asarray(comp0),
+            self.config.gamma, n_iter, self.config.n_components)
+        return np.asarray(mask), np.asarray(comp)
 
     def _preprocess(self, image: np.ndarray) -> np.ndarray:
         cs = self.config.color_space.lower()
@@ -217,12 +287,8 @@ class GrabCut:
         if self.mask is None:
             raise RuntimeError(
                 "Call run_with_bbox or run_with_trimap first.")
-        mask, comp = _grabcut_solve(
-            jnp.asarray(self._proc), jnp.asarray(self.mask),
-            jnp.asarray(self._comp), self.config.gamma,
-            extra_iter, self.config.n_components, from_state=True)
-        self.mask = np.asarray(mask)
-        self._comp = np.asarray(comp)
+        self.mask, self._comp = self._solve(
+            self._proc, self.mask, self._comp, extra_iter)
         self._snapshot("refinement")
         return self._binary()
 
@@ -236,11 +302,8 @@ class GrabCut:
         bg_comp = gmm_ops.kmeans(pix, 1.0 - fg_sel.astype(jnp.float32), k,
                                  seed=1)
         comp0 = jnp.where(fg_sel, fg_comp, bg_comp)
-        mask, comp = _grabcut_solve(
-            pix, jnp.asarray(trimap), comp0, self.config.gamma,
-            self.config.n_iter, self.config.n_components)
-        self.mask = np.asarray(mask)
-        self._comp = np.asarray(comp)
+        self.mask, self._comp = self._solve(
+            pix, trimap, comp0, self.config.n_iter)
         return self._binary()
 
     # ------------------------------------------------------------------

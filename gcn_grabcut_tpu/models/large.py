@@ -1,0 +1,79 @@
+"""Large-graph execution path: run the model zoo on a single 10k+-node
+graph using the banded Pallas SpMM instead of a dense adjacency.
+
+The dense (N, N) adjacency used by the default path costs N^2 memory —
+fine for superpixel graphs (N ≤ ~1k), prohibitive at the 10k+-superpixel
+high-resolution configuration (BASELINE.json configs[4]).  Here the GCN and
+SAGE propagations are compiled into two `SpmmPlan`s:
+
+* GCN: Â = D̂^-1/2 (A + I) D̂^-1/2 — the symmetric normalisation is folded
+  into per-edge weights, and the self-loop term becomes N extra diagonal
+  edges with weight 1/d̂_i (exactly PyG semantics at plan level).
+* mean: per-edge weight 1/deg(dst), no self loops.
+
+Because SLIC numbers superpixels in grid scan order, spatial adjacency is
+index-banded and almost every edge lands in the Pallas kernel's window.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.graph import GraphBatch
+from ..ops.spmm import SpmmPlan, spmm_plan, banded_spmm
+
+
+def build_gcn_plans(edge_src: np.ndarray, edge_dst: np.ndarray,
+                    edge_mask: np.ndarray, n_nodes: int,
+                    block_rows: int = 128, window: int = 512
+                    ) -> tuple[SpmmPlan, SpmmPlan]:
+    """(gcn_plan, mean_plan) for one graph's directed edge list."""
+    edge_src = np.asarray(edge_src, np.int64)
+    edge_dst = np.asarray(edge_dst, np.int64)
+    keep = np.asarray(edge_mask) > 0
+    src, dst = edge_src[keep], edge_dst[keep]
+
+    deg = np.bincount(dst, minlength=n_nodes).astype(np.float64)
+    dhat = deg + 1.0
+    dis = 1.0 / np.sqrt(dhat)
+
+    # GCN: neighbour edges w = 1/sqrt(dhat_i dhat_j), self loops w = 1/dhat.
+    loops = np.arange(n_nodes)
+    g_src = np.concatenate([src, loops])
+    g_dst = np.concatenate([dst, loops])
+    g_w = np.concatenate([dis[src] * dis[dst], 1.0 / dhat]).astype(
+        np.float32)
+    gcn_plan = spmm_plan(g_src, g_dst, g_w, n_nodes,
+                         block_rows=block_rows, window=window)
+
+    m_w = (1.0 / np.maximum(deg, 1.0))[dst].astype(np.float32)
+    mean_plan = spmm_plan(src, dst, m_w, n_nodes,
+                          block_rows=block_rows, window=window)
+    return gcn_plan, mean_plan
+
+
+def spmm_aggregators(gcn_plan: SpmmPlan, mean_plan: SpmmPlan,
+                     interpret: bool = False):
+    """(gcn_propagate, mean_propagate) callables over (1, N, D) batches."""
+    def wrap(plan):
+        def agg(h):
+            # h: (1, N, D) — the kernel works on one graph.
+            out = banded_spmm(h[0].astype(jnp.float32), plan,
+                              interpret=interpret)
+            return out[None].astype(h.dtype)
+        return agg
+    return wrap(gcn_plan), wrap(mean_plan)
+
+
+def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
+                window: int = 512):
+    """Forward a single large graph (G=1) through `model` with SpMM
+    aggregation.  Plans are built host-side from the edge list."""
+    assert g.n_graphs == 1, "large-graph path operates on one graph"
+    n = g.max_nodes
+    gcn_plan, mean_plan = build_gcn_plans(
+        np.asarray(g.edge_src[0]), np.asarray(g.edge_dst[0]),
+        np.asarray(g.edge_mask[0]), n, window=window)
+    aggs = spmm_aggregators(gcn_plan, mean_plan, interpret=interpret)
+    return model.apply(variables, g, train=False, aggregators=aggs)

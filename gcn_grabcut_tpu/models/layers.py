@@ -63,31 +63,50 @@ def mean_adjacency(adj: jnp.ndarray) -> jnp.ndarray:
     return adj / jnp.maximum(deg, 1.0)
 
 
+def _as_aggregate(adj: jnp.ndarray):
+    """Wrap a dense (G, N, N) matrix into an aggregation callable."""
+    def agg(h):
+        return jnp.einsum(
+            "gij,gjd->gid", adj.astype(h.dtype), h,
+            preferred_element_type=jnp.float32).astype(h.dtype)
+    return agg
+
+
 class GCNConv(nn.Module):
-    """PyG-semantics GCN convolution over a pre-normalised adjacency."""
+    """PyG-semantics GCN convolution.
+
+    `propagate` is either a dense pre-normalised (G, N, N) adjacency or a
+    callable h → aggregated-h (e.g. the banded Pallas SpMM for large
+    graphs, ops/spmm.py).
+    """
     features: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj_norm: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, propagate) -> jnp.ndarray:
+        if not callable(propagate):
+            propagate = _as_aggregate(propagate)
         # PyG order: linear (no bias) → propagate → add bias.
         h = nn.Dense(self.features, use_bias=False, kernel_init=KAIMING,
                      dtype=self.dtype)(x)
-        out = jnp.einsum("gij,gjd->gid", adj_norm.astype(h.dtype), h,
-                         preferred_element_type=jnp.float32).astype(h.dtype)
+        out = propagate(h)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return out + bias.astype(out.dtype)
 
 
 class SAGEConv(nn.Module):
-    """GraphSAGE with mean aggregation: lin_l(mean_nbr) + lin_r(x)."""
+    """GraphSAGE with mean aggregation: lin_l(mean_nbr) + lin_r(x).
+
+    `propagate` as in GCNConv, but computing the *mean* over in-neighbours.
+    """
     features: int
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, adj_mean: jnp.ndarray) -> jnp.ndarray:
-        agg = jnp.einsum("gij,gjd->gid", adj_mean.astype(x.dtype), x,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+    def __call__(self, x: jnp.ndarray, propagate) -> jnp.ndarray:
+        if not callable(propagate):
+            propagate = _as_aggregate(propagate)
+        agg = propagate(x)
         out = nn.Dense(self.features, use_bias=True, kernel_init=KAIMING,
                        dtype=self.dtype, name="lin_l")(agg)
         out = out + nn.Dense(self.features, use_bias=False,

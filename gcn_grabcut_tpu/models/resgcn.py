@@ -39,7 +39,11 @@ class ResGCNNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, g: GraphBatch, train: bool = False) -> jnp.ndarray:
+    def __call__(self, g: GraphBatch, train: bool = False,
+                 aggregators=None) -> jnp.ndarray:
+        """`aggregators`: optional (gcn_propagate, mean_propagate) callables
+        replacing the dense adjacency path — used for single large graphs
+        via the banded Pallas SpMM (models/large.py)."""
         D = self.hidden_channels
         N = g.max_nodes
         dense = lambda feats, name=None, bias=True: nn.Dense(
@@ -65,10 +69,14 @@ class ResGCNNet(nn.Module):
         gate = EdgeContext(D, dtype=self.dtype, name="edge_ctx")(
             g.edge_attr, g.edge_dst, g.edge_mask, N).astype(h.dtype)
 
-        # Normalised adjacency built once, reused by all n_layers matmuls.
-        adj = dense_adjacency(g.edge_src, g.edge_dst, g.edge_mask, N)
-        adj_gcn = gcn_norm_adjacency(adj)
-        adj_mean = mean_adjacency(adj)
+        # Normalised adjacency built once, reused by all n_layers matmuls
+        # (or caller-provided SpMM aggregators for large graphs).
+        if aggregators is not None:
+            adj_gcn, adj_mean = aggregators
+        else:
+            adj = dense_adjacency(g.edge_src, g.edge_dst, g.edge_mask, N)
+            adj_gcn = gcn_norm_adjacency(adj)
+            adj_mean = mean_adjacency(adj)
 
         drop = nn.Dropout(self.dropout, deterministic=not train)
 

@@ -85,3 +85,32 @@ class TestBandedSpmm:
         out = banded_spmm(x, plan, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
+
+
+class TestLargeGraphPath:
+    def test_matches_dense_model_path(self):
+        """ResGCNNet through SpMM aggregators must equal the dense
+        adjacency path (the numerical contract that lets the 10k+-node
+        configuration reuse the same trained weights)."""
+        import jax
+        from gcn_grabcut_tpu.core.graph import single_graph
+        from gcn_grabcut_tpu.models import (
+            build_model, init_model, apply_model)
+        from gcn_grabcut_tpu.models.large import apply_large
+
+        r = np.random.RandomState(0)
+        n = 400
+        x = r.randn(n, 19).astype(np.float32)
+        src_l = r.randint(0, n, 2000)
+        dst_l = np.clip(src_l + r.randint(-60, 60, 2000), 0, n - 1)
+        keep = src_l != dst_l
+        src = np.concatenate([src_l[keep], dst_l[keep]])
+        dst = np.concatenate([dst_l[keep], src_l[keep]])
+        attr = r.rand(len(src), 5).astype(np.float32)
+        g = single_graph(x, src, dst, attr)
+
+        m = build_model("resgcn", hidden_channels=32, n_layers=2)
+        vs = init_model(m, jax.random.PRNGKey(0), g)
+        dense_out = np.asarray(apply_model(m, vs, g, train=False))
+        large_out = np.asarray(apply_large(m, vs, g, interpret=True))
+        np.testing.assert_allclose(dense_out, large_out, atol=1e-4)
