@@ -41,6 +41,8 @@ def make_edges(seed=0):
 
 def bench_jax():
     import jax
+    from gcn_grabcut_tpu.utils import setup_compilation_cache
+    setup_compilation_cache()
     import jax.numpy as jnp
     from gcn_grabcut_tpu.core.graph import single_graph, stack_graphs
     from gcn_grabcut_tpu.models import build_model, init_model

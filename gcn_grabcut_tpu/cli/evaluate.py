@@ -42,6 +42,8 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from ..utils import setup_compilation_cache
+    setup_compilation_cache()
 
     from ..train.checkpoints import load_model_from_checkpoint
     from ..pipeline import GCNGrabCutPipeline

@@ -29,6 +29,8 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from ..utils import setup_compilation_cache
+    setup_compilation_cache()
 
     from ..data.dataset import list_image_mask_pairs, prepare_dataset
     from ..graph_build import SuperpixelGraphConfig

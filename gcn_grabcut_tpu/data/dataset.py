@@ -324,6 +324,30 @@ def prepare_dataset(samples: list[dict],
     return records
 
 
+def load_image_mask_dataset(images_dir, masks_dir, max_size: int = 512,
+                            augment: bool = True, augment_factor: int = 2,
+                            seed: int = 0) -> list[dict]:
+    """Eager in-memory loader: decode every pair now, optionally with
+    augmented copies (reference dataset.py:589-664).  Prefer
+    `list_image_mask_pairs` + `prepare_dataset` for large datasets."""
+    descs = list_image_mask_pairs(images_dir, masks_dir, max_size=max_size)
+    samples, skipped = [], 0
+    rng = np.random.RandomState(seed)
+    for d in descs:
+        mat = materialise(d)
+        if mat is None:
+            skipped += 1
+            continue
+        samples.append(mat)
+        if augment:
+            for k in range(augment_factor):
+                img, msk = augment_sample(mat["image"], mat["gt_mask"], rng)
+                samples.append({"image": img, "gt_mask": msk,
+                                "name": f"{mat['name']}_aug{k}"})
+    print(f"[Dataset] {len(samples)} samples loaded ({skipped} skipped).")
+    return samples
+
+
 # -----------------------------------------------------------------------
 # Synthetic dataset (the CI fixture — reference dataset.py:667-749)
 # -----------------------------------------------------------------------

@@ -25,6 +25,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialise multi-host JAX (jax.distributed) when running on more
+    than one host.  Safe to call unconditionally: with no arguments and no
+    cluster environment it is a no-op on a single host.
+
+    The reference has no distributed backend at all (SURVEY §5.8); on TPU
+    pods the per-host invocation is typically fully automatic (the TPU
+    environment provides coordinator/process info).
+    """
+    import jax
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        elif num_processes is not None or _in_cluster_env():
+            jax.distributed.initialize()
+    except (RuntimeError, ValueError) as exc:  # already initialised / solo
+        if "already" not in str(exc):
+            raise
+
+
+def _in_cluster_env() -> bool:
+    import os
+    return any(k in os.environ for k in (
+        "COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"))
+
+
 def make_mesh(n_data: Optional[int] = None, n_graph: int = 1,
               devices=None) -> Mesh:
     """Create a (data, graph) mesh over the available devices."""

@@ -45,6 +45,24 @@ class SegmentationResult:
     rgba: np.ndarray           # RGBA transparent background
     timing: dict = dataclasses.field(default_factory=dict)
 
+    def show(self) -> None:
+        """Display input | trimap | overlay panels (blocks until keypress).
+
+        Requires a display; headless environments should use save().
+        """
+        import cv2
+        panel = np.concatenate([
+            cv2.resize(cv2.cvtColor(self.image, cv2.COLOR_RGB2BGR),
+                       (256, 256)),
+            cv2.resize(cv2.cvtColor(colour_trimap(self.trimap),
+                                    cv2.COLOR_RGB2BGR), (256, 256)),
+            cv2.resize(cv2.cvtColor(self.overlay, cv2.COLOR_RGB2BGR),
+                       (256, 256)),
+        ], axis=1)
+        cv2.imshow("Input | Trimap | Result", panel)
+        cv2.waitKey(0)
+        cv2.destroyAllWindows()
+
     def save(self, prefix: str = "result") -> None:
         import cv2
         cv2.imwrite(f"{prefix}_overlay.png",
