@@ -49,6 +49,10 @@ def parse_args(argv=None):
     p.add_argument("--save-dir", type=str, default="checkpoints")
     p.add_argument("--patience", type=int, default=30)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint to resume training from")
+    p.add_argument("--log-dir", type=str, default=None,
+                   help="TensorBoard log directory")
     p.add_argument("--no-bf16", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
@@ -100,14 +104,15 @@ def main(argv=None):
         n_epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
         batch_size=args.batch, loss_fn=args.loss, scheduler=args.scheduler,
         bf16=not args.no_bf16, early_stop_patience=args.patience,
-        t0=max(args.epochs // 3, 1), seed=args.seed)
+        t0=max(args.epochs // 3, 1), seed=args.seed, log_dir=args.log_dir)
 
     trainer = Trainer(args.model,
                       dict(hidden_channels=args.hidden,
                            n_layers=args.layers, dropout=args.dropout),
                       cfg, save_dir=args.save_dir)
     history = trainer.fit([r[0] for r in train_recs],
-                          [r[0] for r in val_recs])
+                          [r[0] for r in val_recs],
+                          resume_from=args.resume)
 
     if args.model == "resgcn":
         w = np.asarray(ResGCNNet.layer_weights(trainer.state.params))

@@ -22,7 +22,8 @@ from flax import serialization
 
 
 def save_checkpoint(path: str | Path, params: Any, batch_stats: Any,
-                    meta: Optional[dict] = None) -> None:
+                    meta: Optional[dict] = None,
+                    opt_state: Any = None) -> None:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -31,6 +32,9 @@ def save_checkpoint(path: str | Path, params: Any, batch_stats: Any,
         "meta_json": np.frombuffer(
             json.dumps(meta or {}).encode(), dtype=np.uint8).copy(),
     }
+    if opt_state is not None:
+        payload["opt_state"] = serialization.to_state_dict(
+            jax.device_get(opt_state))
     blob = serialization.msgpack_serialize(payload)
     tmp = path.with_suffix(f".{os.getpid()}.tmp")
     try:
@@ -48,6 +52,16 @@ def load_checkpoint(path: str | Path):
         payload = serialization.msgpack_restore(f.read())
     meta = json.loads(bytes(payload["meta_json"]).decode())
     return payload["params"], payload["batch_stats"], meta
+
+
+def load_opt_state(path: str | Path, target: Any):
+    """Restore the optimiser state onto a freshly-initialised `target`
+    pytree (None if the checkpoint has no optimiser state)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    if "opt_state" not in payload:
+        return None
+    return serialization.from_state_dict(target, payload["opt_state"])
 
 
 def load_model_from_checkpoint(path: str | Path, dtype=None):

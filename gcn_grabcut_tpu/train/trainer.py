@@ -290,7 +290,10 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def fit(self, train_graphs: Sequence[GraphBatch],
-            val_graphs: Optional[Sequence[GraphBatch]] = None) -> dict:
+            val_graphs: Optional[Sequence[GraphBatch]] = None,
+            resume_from: Optional[str] = None) -> dict:
+        """Train; `resume_from` restores a checkpoint (model + optimiser)
+        and continues from its saved epoch."""
         cfg = self.cfg
         if not train_graphs:
             raise RuntimeError(
@@ -317,10 +320,19 @@ class Trainer:
         example = jax.tree.map(lambda a: a[:min(bs, n)], train_data)
         self._init_state(example, steps_per_epoch)
 
+        start_epoch = 1
+        if resume_from is not None:
+            meta = self.load(resume_from, weights_only=False)
+            start_epoch = int(meta.get("epoch", 0)) + 1
+            if meta.get("score") is not None:
+                self._best_score = float(meta["score"])
+            print(f"[Trainer] Resumed from {resume_from} "
+                  f"(epoch {start_epoch - 1}, score {meta.get('score')})")
+
         rng_np = np.random.RandomState(cfg.seed)
         drop_rng = jax.random.PRNGKey(cfg.seed + 1)
 
-        for epoch in range(1, cfg.n_epochs + 1):
+        for epoch in range(start_epoch, cfg.n_epochs + 1):
             t0 = time.time()
             total, nb = 0.0, 0
             for batch, w in self._batches(train_data, rng_np, shuffle=True):
@@ -434,23 +446,34 @@ class Trainer:
 
     def save(self, filename: str, epoch: int = 0,
              score: Optional[float] = None):
+        """Checkpoint with full training state (model + optimiser + config),
+        like the reference `_save` (trainer.py:386-400)."""
         ckpt_io.save_checkpoint(
             self.save_dir / filename,
             params=self.state.params,
             batch_stats=self.state.batch_stats,
+            opt_state=self.state.opt_state,
             meta=dict(epoch=epoch, score=score, variant=self.variant,
                       model_kwargs={k: v for k, v in
                                     self.model_kwargs.items()
                                     if k != "dtype"},
                       config=dataclasses.asdict(self.cfg)))
 
-    def load(self, filename: str):
-        params, batch_stats, meta = ckpt_io.load_checkpoint(
-            self.save_dir / filename)
+    def load(self, filename: str, weights_only: bool = True) -> dict:
+        """Restore a checkpoint; with weights_only=False the optimiser
+        state resumes too (reference trainer.py:402-412)."""
+        path = Path(filename)
+        if not path.is_absolute() and not path.exists():
+            path = self.save_dir / filename
+        params, batch_stats, meta = ckpt_io.load_checkpoint(path)
         if self.state is None:
             raise RuntimeError("call fit() or _init_state() before load()")
         self.state = self.state.replace(params=params,
                                         batch_stats=batch_stats)
+        if not weights_only:
+            opt = ckpt_io.load_opt_state(path, self.state.opt_state)
+            if opt is not None:
+                self.state = self.state.replace(opt_state=opt)
         return meta
 
     def _save_history(self):
