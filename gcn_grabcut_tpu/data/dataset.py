@@ -412,6 +412,82 @@ def make_synthetic_dataset(n: int = 200, size: int = 128, seed: int = 42
     return samples
 
 
+def make_hard_synthetic_dataset(n: int = 200, size: int = 192,
+                                seed: int = 42) -> list[dict]:
+    """A harder synthetic benchmark than the shape fixture: textured and
+    illumination-graded backgrounds, objects with internal texture and
+    moderate colour contrast, and border-touching distractor blobs.
+
+    Intended as the stand-in accuracy benchmark in environments without
+    DUTS: it stresses the same failure modes (camouflage, distractors,
+    boundary adherence) at a smaller scale.
+    """
+    rng = np.random.RandomState(seed)
+    samples = []
+    for i in range(n):
+        # Multi-scale noise background + illumination gradient.
+        base = rng.randint(30, 110, 3)
+        img = np.zeros((size, size, 3), np.float32)
+        for scale in (8, 32, 96):
+            lowres = rng.randn(size // scale + 2, size // scale + 2, 3) * 18
+            img += cv2.resize(lowres, (size, size),
+                              interpolation=cv2.INTER_CUBIC)
+        img += base[None, None, :]
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+        ang = rng.rand() * 2 * np.pi
+        grad = (np.cos(ang) * xx + np.sin(ang) * yy) * rng.uniform(-50, 50)
+        img += grad[..., None]
+
+        mask = np.zeros((size, size), np.uint8)
+        cx = rng.randint(size // 3, 2 * size // 3)
+        cy = rng.randint(size // 3, 2 * size // 3)
+        color = base + rng.choice([-1, 1], 3) * rng.randint(50, 110, 3)
+        color = np.clip(color, 0, 255)
+
+        shape = rng.choice(["ellipse", "blob", "rect"])
+        if shape == "ellipse":
+            a = rng.randint(size // 7, size // 3)
+            b = rng.randint(size // 8, size // 4)
+            th = rng.randint(0, 180)
+            cv2.ellipse(mask, (cx, cy), (a, b), th, 0, 360, 1, -1)
+        elif shape == "rect":
+            w, h = rng.randint(size // 6, size // 3, 2)
+            cv2.rectangle(mask, (cx - w // 2, cy - h // 2),
+                          (cx + w // 2, cy + h // 2), 1, -1)
+            M = cv2.getRotationMatrix2D((cx, cy), rng.uniform(-40, 40), 1.0)
+            mask = cv2.warpAffine(mask, M, (size, size),
+                                  flags=cv2.INTER_NEAREST)
+        else:  # smooth random blob: union of overlapping circles
+            for _ in range(rng.randint(3, 7)):
+                r_ = rng.randint(size // 10, size // 5)
+                dx, dy = rng.randint(-size // 8, size // 8, 2)
+                cv2.circle(mask, (cx + dx, cy + dy), r_, 1, -1)
+
+        # Object fill: base colour + its own texture.
+        obj_tex = rng.randn(size, size, 3) * rng.uniform(5, 20)
+        obj = color[None, None, :] + obj_tex
+        img = np.where(mask[..., None] > 0, obj, img)
+
+        # Distractor blobs (same colour family as the object, at borders).
+        for _ in range(rng.randint(0, 3)):
+            bx = rng.choice([rng.randint(0, size // 6),
+                             rng.randint(5 * size // 6, size)])
+            by = rng.randint(0, size)
+            r_ = rng.randint(size // 16, size // 8)
+            dcol = np.clip(color + rng.randint(-25, 25, 3), 0, 255)
+            cv2.circle(img, (int(bx), int(by)), r_,
+                       tuple(float(c) for c in dcol), -1)
+
+        img = np.clip(img + rng.randn(size, size, 3) * 6, 0, 255)
+        img = img.astype(np.uint8)
+        if mask.sum() < 200 or (1 - mask).sum() < 200:
+            continue
+        samples.append({"image": img, "gt_mask": mask,
+                        "name": f"hard_{i:04d}_{shape}"})
+    print(f"[Dataset] Generated {len(samples)} hard synthetic samples.")
+    return samples
+
+
 def split_dataset(samples: list, val_ratio: float = 0.15,
                   test_ratio: float = 0.05, seed: int = 42):
     """Shuffled train/val/test split (reference dataset.py:752-769)."""

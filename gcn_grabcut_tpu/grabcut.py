@@ -183,6 +183,61 @@ def _grabcut_solve_native(pix: np.ndarray, mask: np.ndarray,
     return mask, comp
 
 
+@functools.partial(jax.jit, static_argnames=("n_iter", "n_components"))
+def _grabcut_solve_batch(pix, masks, comps, gamma, n_iter, n_components):
+    """vmapped fused solve over a batch of same-size images: every image's
+    GMM fits, graph constructions and push-relabel sweeps run lock-step on
+    the device — the batched-inference configuration."""
+    def one(p, m, c):
+        mask, comp = _grabcut_solve(p, m, c, gamma, n_iter, n_components)
+        return mask, comp
+    return jax.vmap(one)(pix, masks, comps)
+
+
+def run_batch_with_trimaps(images: np.ndarray, trimaps: np.ndarray,
+                           config: Optional[GrabCutConfig] = None
+                           ) -> np.ndarray:
+    """Batched GrabCut: (B, H, W, 3) uint8 RGB + (B, H, W) trimaps →
+    (B, H, W) uint8 binary masks, one fused device program.
+
+    Degenerate trimaps are repaired per image exactly as in the scalar
+    path; images whose trimap stays one-sided keep their own labelling.
+    """
+    config = config or GrabCutConfig()
+    B = images.shape[0]
+    trimaps = trimaps.astype(np.uint8).copy()
+
+    degenerate = np.zeros(B, bool)
+    for b in range(B):
+        t = trimaps[b]
+        if not (t == TRIMAP_FG).any():
+            t[t == TRIMAP_PROB_FG] = TRIMAP_FG
+        if not (t == TRIMAP_BG).any():
+            t[t == TRIMAP_PROB_BG] = TRIMAP_BG
+        if not (t == TRIMAP_FG).any() or not (t == TRIMAP_BG).any():
+            degenerate[b] = True
+
+    pix = jnp.asarray(images, jnp.float32)
+    k = config.n_components
+    fg_sel = jnp.asarray((trimaps == TRIMAP_FG)
+                         | (trimaps == TRIMAP_PROB_FG))
+    fg_comp = jax.vmap(lambda p, s: gmm_ops.kmeans(p, s, k, seed=0))(
+        pix, fg_sel.astype(jnp.float32))
+    bg_comp = jax.vmap(lambda p, s: gmm_ops.kmeans(p, s, k, seed=1))(
+        pix, 1.0 - fg_sel.astype(jnp.float32))
+    comp0 = jnp.where(fg_sel, fg_comp, bg_comp)
+
+    masks, _ = _grabcut_solve_batch(
+        pix, jnp.asarray(trimaps), comp0, config.gamma, config.n_iter, k)
+    masks = np.asarray(masks)
+    out = np.where((masks == TRIMAP_FG) | (masks == TRIMAP_PROB_FG),
+                   1, 0).astype(np.uint8)
+    for b in np.nonzero(degenerate)[0]:
+        out[b] = np.isin(trimaps[b],
+                         (TRIMAP_FG, TRIMAP_PROB_FG)).astype(np.uint8)
+    return out
+
+
 class GrabCut:
     """TPU GrabCut with the reference wrapper's API (grabcut.py:48-204).
 

@@ -120,6 +120,7 @@ def slic(lab: jnp.ndarray, n_segments: int = 300, compactness: float = 10.0,
     centers = jax.lax.fori_loop(0, n_iter, body, centers)
     labels = assign(centers)
     labels = _absorb_orphans(labels, n_sweeps=4)
+    labels = enforce_connectivity(labels, K)
     return labels
 
 
@@ -169,6 +170,80 @@ def _absorb_orphans(labels: jnp.ndarray, n_sweeps: int = 2) -> jnp.ndarray:
         return half_sweep(lb, 1)
 
     return jax.lax.fori_loop(0, n_sweeps, sweep, labels)
+
+
+def enforce_connectivity(labels: jnp.ndarray, k: int,
+                         max_sweeps: int = 64) -> jnp.ndarray:
+    """Make every SLIC label a single connected region.
+
+    skimage's SLIC does this on the host as a post-pass; here it runs
+    on-device at fixed shape: (1) connected components of the label map by
+    min-index propagation, (2) for each label keep its largest component,
+    (3) pixels in minor fragments iteratively adopt a neighbouring
+    main-component label (checkerboard sweeps until fixpoint).
+    """
+    H, W = labels.shape
+    hw = H * W
+
+    idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+           + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
+
+    def neighbours(a, fill):
+        up = jnp.concatenate([a[:1] * 0 + fill, a[:-1]], axis=0)
+        dn = jnp.concatenate([a[1:], a[-1:] * 0 + fill], axis=0)
+        lf = jnp.concatenate([a[:, :1] * 0 + fill, a[:, :-1]], axis=1)
+        rt = jnp.concatenate([a[:, 1:], a[:, -1:] * 0 + fill], axis=1)
+        return up, dn, lf, rt
+
+    # 1. components: min linear index reachable through equal labels.
+    def cc_body(state):
+        comp, _, it = state
+        new = comp
+        for nb_c, nb_l in zip(neighbours(comp, hw),
+                              neighbours(labels, -1)):
+            new = jnp.minimum(new, jnp.where(nb_l == labels, nb_c, hw))
+        return new, jnp.any(new < comp), it + 1
+
+    comp, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_sweeps * 4),
+        cc_body, (idx, jnp.bool_(True), jnp.int32(0)))
+
+    # 2. component sizes → per-label main component.
+    flat_comp = comp.reshape(-1)
+    sizes = jax.ops.segment_sum(jnp.ones(hw, jnp.float32), flat_comp,
+                                num_segments=hw)
+    comp_size = sizes[flat_comp].reshape(H, W)
+    # Encode (size, -comp) so ties go to the smaller component id.
+    score = comp_size * hw - comp.astype(jnp.float32)
+    label_best = jax.ops.segment_max(score.reshape(-1),
+                                     labels.reshape(-1), num_segments=k)
+    minor = score < label_best[labels]
+
+    # 3. minor pixels adopt a neighbouring major label.
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    parity = (yy + xx) % 2
+
+    def absorb_body(state):
+        lab, minor, _, it = state
+        new_lab, new_minor = lab, minor
+        for phase in (0, 1):
+            cand_l = neighbours(new_lab, -1)
+            cand_m = neighbours(new_minor, True)
+            take_l = jnp.full_like(new_lab, -1)
+            for nl, nm in zip(cand_l, cand_m):
+                ok = jnp.logical_not(nm) & (nl >= 0)
+                take_l = jnp.where((take_l < 0) & ok, nl, take_l)
+            move = new_minor & (take_l >= 0) & (parity == phase)
+            new_lab = jnp.where(move, take_l, new_lab)
+            new_minor = new_minor & jnp.logical_not(move)
+        changed = jnp.any(new_minor != minor)
+        return new_lab, new_minor, changed, it + 1
+
+    labels, minor, _, _ = jax.lax.while_loop(
+        lambda s: s[2] & (s[3] < max_sweeps),
+        absorb_body, (labels, minor, jnp.bool_(True), jnp.int32(0)))
+    return labels
 
 
 def _gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:

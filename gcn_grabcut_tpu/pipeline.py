@@ -215,6 +215,88 @@ class GCNGrabCutPipeline:
             segments=graph.segments, overlay=gc.overlay_mask(),
             rgba=gc.crop_foreground(), timing=timing)
 
+    def segment_batch(self, images: list[np.ndarray],
+                      threshold_fg: float = 0.55, threshold_bg: float = 0.55,
+                      min_area_ratio: float = 0.002,
+                      keep_largest: bool = False,
+                      filter_radius: int = 8) -> list[SegmentationResult]:
+        """Segment a batch of same-size images as fused device programs.
+
+        Graph builds share one compiled signature; the GCN forward runs
+        once over the stacked (B, N, F) batch (the per-graph attention
+        readout stays per-image by construction); trimap refinement and
+        GrabCut are vmapped — the batched-inference configuration
+        (BASELINE configs[2]).
+        """
+        from .core.graph import stack_graphs
+        from .grabcut import run_batch_with_trimaps
+
+        assert images, "empty batch"
+        H, W = images[0].shape[:2]
+        assert all(im.shape[:2] == (H, W) for im in images), \
+            "segment_batch requires same-size images (resize upstream)"
+        timing: dict = {}
+
+        t = time.perf_counter()
+        graphs = [build_graph(im, self.sp_config) for im in images]
+        batch = stack_graphs([g.graph for g in graphs])
+        timing["graph_build"] = time.perf_counter() - t
+
+        t = time.perf_counter()
+        logits = apply_model(self.model, self.variables, batch, train=False)
+        probs = np.asarray(jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1))
+        segments = np.stack([g.segments for g in graphs])
+
+        @jax.jit
+        def refine_all(probs, segments, grays):
+            def one(p, s, gray):
+                p_bg = jnp.clip(im.guided_filter(
+                    gray, p[:, CLASS_BG][s], filter_radius, 1e-3), 0, 1)
+                p_fg = jnp.clip(im.guided_filter(
+                    gray, p[:, CLASS_FG][s], filter_radius, 1e-3), 0, 1)
+                tri = jnp.where(p_fg > p_bg, TRIMAP_PROB_FG, TRIMAP_PROB_BG)
+                tri = jnp.where(p_bg >= threshold_bg, TRIMAP_BG, tri)
+                tri = jnp.where(p_fg >= threshold_fg, TRIMAP_FG, tri)
+                return tri.astype(jnp.uint8)
+            return jax.vmap(one)(probs, segments, grays)
+
+        grays = jnp.stack([
+            im.rgb_to_gray(jnp.asarray(x, jnp.float32)) / 255.0
+            for x in images])
+        trimaps = np.asarray(refine_all(
+            jnp.asarray(probs), jnp.asarray(segments), grays))
+        timing["gcn_inference"] = time.perf_counter() - t
+
+        trimaps = np.stack([
+            seed_from_prior(trimaps[b], graphs[b])
+            for b in range(len(images))])
+
+        t = time.perf_counter()
+        masks = run_batch_with_trimaps(
+            np.stack(images), trimaps, self.gc_config)
+        timing["grabcut"] = time.perf_counter() - t
+
+        t = time.perf_counter()
+        results = []
+        for b, image in enumerate(images):
+            mask = clean_mask(masks[b], min_area_ratio, keep_largest)
+            binary = mask[..., None].astype(np.float32)
+            tint = np.array([0, 220, 100], np.float32)
+            overlay = np.clip(image * (1 - 0.45 * binary)
+                              + tint * 0.45 * binary, 0, 255).astype(
+                                  np.uint8)
+            rgba = np.concatenate(
+                [image, (mask * 255)[..., None]], axis=-1).astype(np.uint8)
+            results.append(SegmentationResult(
+                image=image, binary_mask=mask, trimap=trimaps[b],
+                segments=segments[b], overlay=overlay, rgba=rgba,
+                timing=dict(timing)))
+        timing["postprocess"] = time.perf_counter() - t
+        for r in results:
+            r.timing["postprocess"] = timing["postprocess"]
+        return results
+
     def segment_bbox(self, image: np.ndarray,
                      bbox: tuple[int, int, int, int]) -> SegmentationResult:
         """Classical bbox GrabCut baseline (reference pipeline.py:354-380)."""

@@ -48,6 +48,16 @@ class TestSlic:
         orphan = np.logical_and.reduce([seg != n for n in nb])
         assert orphan.mean() < 2e-3
 
+    def test_every_label_connected(self, test_image):
+        from gcn_grabcut_tpu.ops import image as im
+        from scipy import ndimage
+        lab = im.rgb_to_lab(jnp.asarray(test_image, jnp.float32))
+        seg = np.asarray(slic_ops.slic(lab, n_segments=80))
+        for l in range(seg.max() + 1):
+            m = seg == l
+            if m.any():
+                assert ndimage.label(m)[1] == 1, f"label {l} disconnected"
+
     def test_roughly_uniform_sizes(self, test_image):
         from gcn_grabcut_tpu.ops import image as im
         lab = im.rgb_to_lab(jnp.asarray(test_image, jnp.float32))

@@ -139,3 +139,33 @@ class TestPipeline:
             jax.numpy.asarray(res.binary_mask > 0)))
         fg_ids = np.unique(lab[res.binary_mask > 0])
         assert len(fg_ids) <= 1
+
+
+class TestBatchedPipeline:
+    def test_segment_batch_matches_scalar(self, circle_image):
+        """Batched inference must agree with the scalar path
+        (BASELINE configs[2]: padded/packed multi-graph batch)."""
+        import jax
+        from gcn_grabcut_tpu import GrabCutConfig
+        img, gt = circle_image
+        imgs = [img, img[:, ::-1].copy()]
+        model = build_model("resgcn", hidden_channels=24, n_layers=2)
+        g = build_graph(imgs[0], SuperpixelGraphConfig(n_segments=60)).graph
+        vs = init_model(model, jax.random.PRNGKey(0), g)
+        pipe = GCNGrabCutPipeline(model, vs,
+                                  SuperpixelGraphConfig(n_segments=60),
+                                  GrabCutConfig(n_iter=2))
+        batch = pipe.segment_batch(imgs)
+        scalar = pipe.segment(imgs[0])
+        agreement = (batch[0].binary_mask == scalar.binary_mask).mean()
+        assert agreement > 0.98
+        assert batch[1].binary_mask.shape == img.shape[:2]
+
+    def test_hard_synthetic_generator(self):
+        from gcn_grabcut_tpu.data.dataset import make_hard_synthetic_dataset
+        s = make_hard_synthetic_dataset(n=4, size=96, seed=0)
+        assert len(s) == 4
+        for x in s:
+            assert x["image"].shape == (96, 96, 3)
+            assert set(np.unique(x["gt_mask"])) <= {0, 1}
+            assert 0.02 < x["gt_mask"].mean() < 0.6
