@@ -105,9 +105,9 @@ def spmm_plan(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
 
     counts = np.bincount(owner[banded], minlength=n_blocks)
     if edges_per_block is None:
-        # Static budget: the max per-block load, rounded to the 1-D int32
-        # VMEM tiling (8 sublanes x 128 lanes = 1024).
-        edges_per_block = max(1024, _round_up(int(counts.max() or 1), 1024))
+        # Static budget: the max per-block load, rounded to the VMEM lane
+        # width (the kernel reshapes edges to (Eb/128, 128) tiles).
+        edges_per_block = max(128, _round_up(int(counts.max() or 1), 128))
 
     bs = np.zeros((n_blocks, edges_per_block), np.int32)
     bd = np.zeros((n_blocks, edges_per_block), np.int32)
@@ -142,37 +142,50 @@ def spmm_plan(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
 
 def _make_spmm_kernel(window: int, precision: str = "default"):
     def kernel(win_ref, src_ref, dst_ref, w_ref, x_ref, o_ref):
-        """One row block: two one-hot matmuls on the MXU.
+        """One row block: two batched one-hot matmuls on the MXU.
 
         x lives fully in VMEM (node counts up to ~16k at D=128 fit); the
         source window is an aligned dynamic slice, so no gather is ever
         issued — both the gather and the scatter are one-hot matmuls.
+        Edge vectors arrive tiled as (Eb/128, 128) so the budget only pays
+        128-alignment (not the 1024 1-D tiling), and the one-hot operands
+        run in bf16 (exact: one-hots are 0/1, weights are applied to the
+        fp32 accumulator afterwards via the per-row scale trick below).
         """
         b = pl.program_id(0)
-        Eb = src_ref.shape[0]
+        _, B2, L = src_ref.shape         # (1, Eb/128, 128)
         R = o_ref.shape[0]
 
-        start = win_ref[b]
-        xw = x_ref[pl.ds(start, window), :]               # (W, D)
-
-        src = src_ref[:]                                  # (Eb,)
-        dst = dst_ref[:]
-        wgt = w_ref[:]
-
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (Eb, window), 1)
-        onehot_src = (src[:, None] == iota_w).astype(jnp.float32)
-        onehot_src = onehot_src * wgt[:, None]
         prec = (jax.lax.Precision.HIGHEST if precision == "highest"
                 else jax.lax.Precision.DEFAULT)
-        msgs = jnp.dot(onehot_src, xw,
-                       preferred_element_type=jnp.float32,
-                       precision=prec)                        # (Eb, D)
+        odt = jnp.float32 if precision == "highest" else jnp.bfloat16
 
-        onehot_dst = (dst[None, :] == jax.lax.broadcasted_iota(
-            jnp.int32, (R, Eb), 0)).astype(jnp.float32)
-        o_ref[:] = jnp.dot(onehot_dst, msgs,
-                           preferred_element_type=jnp.float32,
-                           precision=prec)
+        start = win_ref[b]
+        xw = x_ref[pl.ds(start, window), :].astype(odt)    # (W, D)
+
+        src = src_ref[0]                                   # (B2, 128)
+        dst = dst_ref[0]
+        wgt = w_ref[0]
+
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (B2, L, window), 2)
+        onehot_src = (src[..., None] == iota_w).astype(odt)
+        # Weighted gather: scale the one-hot rows (exact in bf16 only for
+        # 0/1 — apply the fp32 weights to the gathered rows instead).
+        msgs = jax.lax.dot_general(
+            onehot_src, xw,
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                # (B2, L, D)
+        msgs = msgs * wgt[..., None]
+
+        iota_r = jax.lax.broadcasted_iota(jnp.int32, (B2, L, R), 2)
+        onehot_dst = (dst[..., None] == iota_r).astype(odt)
+        out = jax.lax.dot_general(
+            onehot_dst, msgs.astype(odt),
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=prec)                                # (B2, R, D)
+        o_ref[:] = jnp.sum(out, axis=0)
     return kernel
 
 
@@ -184,16 +197,18 @@ def _banded_spmm_call(x, src, dst, weight, win_start, n_nodes, block_rows,
     n_blocks = n_nodes // block_rows
     D = x.shape[1]
 
+    tiles = edges_per_block // 128
+    src = src.reshape(n_blocks, tiles, 128)
+    dst = dst.reshape(n_blocks, tiles, 128)
+    weight = weight.reshape(n_blocks, tiles, 128)
+
+    edge_spec = pl.BlockSpec((1, tiles, 128), lambda b, ws: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                 # win_start, element rows
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((edges_per_block,), lambda b, ws: (b,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((edges_per_block,), lambda b, ws: (b,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((edges_per_block,), lambda b, ws: (b,),
-                         memory_space=pltpu.VMEM),
+            edge_spec, edge_spec, edge_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),       # full x
         ],
         out_specs=pl.BlockSpec((block_rows, D), lambda b, ws: (b, 0),
