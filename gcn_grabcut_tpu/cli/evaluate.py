@@ -29,6 +29,8 @@ def parse_args(argv=None):
     p.add_argument("--threshold", type=float, default=0.65)
     p.add_argument("--filter-radius", type=int, default=4)
     p.add_argument("--keep-largest", action="store_true")
+    p.add_argument("--batch", type=int, default=0,
+                   help="segment in batches of this size (same-size images)")
     p.add_argument("--ablation", action="store_true",
                    help="also score region-only and +guided-filter variants")
     p.add_argument("--out", type=str, default=None,
@@ -72,10 +74,38 @@ def main(argv=None):
 
     ious, dices, bf1s, times = [], [], [], []
     abl_region, abl_guided = [], []
-    for i, s in enumerate(samples):
-        mat = materialise(s)
-        if mat is None:
-            continue
+
+    mats = [m for m in (materialise(s) for s in samples) if m is not None]
+
+    if args.batch > 1:
+        # Batched path: group same-shape images.
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for m in mats:
+            groups[m["image"].shape[:2]].append(m)
+        results_gt = []
+        for shape, group in groups.items():
+            for i in range(0, len(group), args.batch):
+                chunk = group[i:i + args.batch]
+                t0 = time.perf_counter()
+                rs = pipe.segment_batch(
+                    [c["image"] for c in chunk],
+                    threshold_fg=args.threshold,
+                    threshold_bg=args.threshold,
+                    keep_largest=args.keep_largest,
+                    filter_radius=args.filter_radius)
+                dt = (time.perf_counter() - t0) / len(chunk)
+                for r, c in zip(rs, chunk):
+                    results_gt.append((r, c["gt_mask"]))
+                    times.append(dt)
+        for r, gt in results_gt:
+            m = evaluate(r.binary_mask, gt)
+            ious.append(m.iou)
+            dices.append(m.dice)
+            bf1s.append(m.boundary_f1)
+        mats = []   # scalar loop below is skipped
+
+    for i, mat in enumerate(mats):
         img, gt = mat["image"], mat["gt_mask"]
         t0 = time.perf_counter()
         res = pipe.segment(
