@@ -1,0 +1,125 @@
+"""Data-layer robustness: caching, corrupt-entry rebuild, decode failure
+isolation, deterministic augmentation — the aux subsystems of SURVEY §5.3.
+"""
+
+import time
+
+import cv2
+import numpy as np
+import pytest
+
+from gcn_grabcut_tpu.data.dataset import (
+    prepare_dataset, materialise, list_image_mask_pairs, augment_sample,
+    make_synthetic_dataset,
+)
+from gcn_grabcut_tpu.graph_build import SuperpixelGraphConfig
+
+
+@pytest.fixture()
+def pair_dirs(tmp_path, circle_image):
+    img, mask = circle_image
+    (tmp_path / "imgs").mkdir()
+    (tmp_path / "masks").mkdir()
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / "imgs" / f"s{i}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(str(tmp_path / "masks" / f"s{i}.png"), mask * 255)
+    # one image without a mask
+    cv2.imwrite(str(tmp_path / "imgs" / "orphan.png"),
+                cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    return tmp_path / "imgs", tmp_path / "masks"
+
+
+class TestDescriptors:
+    def test_missing_masks_are_skipped(self, pair_dirs):
+        imgs, masks = pair_dirs
+        descs = list_image_mask_pairs(imgs, masks)
+        assert len(descs) == 3
+        assert all(d["aug_seed"] is None for d in descs)
+
+    def test_aug_seeds_stable_across_calls(self, pair_dirs):
+        imgs, masks = pair_dirs
+        d1 = list_image_mask_pairs(imgs, masks, augment_copies=2, seed=7)
+        d2 = list_image_mask_pairs(imgs, masks, augment_copies=2, seed=7)
+        assert [d["aug_seed"] for d in d1] == [d["aug_seed"] for d in d2]
+        # augmented copies present
+        assert sum(d["aug_seed"] is not None for d in d1) == 6
+
+    def test_materialise_descriptor_and_augmented_determinism(self,
+                                                              pair_dirs):
+        imgs, masks = pair_dirs
+        descs = list_image_mask_pairs(imgs, masks, augment_copies=1, seed=3)
+        aug = next(d for d in descs if d["aug_seed"] is not None)
+        m1 = materialise(dict(aug))
+        m2 = materialise(dict(aug))
+        np.testing.assert_array_equal(m1["image"], m2["image"])
+        np.testing.assert_array_equal(m1["gt_mask"], m2["gt_mask"])
+
+    def test_materialise_unreadable_returns_none(self, tmp_path):
+        out = materialise({"image_path": str(tmp_path / "nope.png"),
+                           "mask_path": str(tmp_path / "nope_m.png")})
+        assert out is None
+
+    def test_materialise_degenerate_mask_dropped(self, tmp_path):
+        img = np.full((64, 64, 3), 100, np.uint8)
+        mask = np.zeros((64, 64), np.uint8)   # no foreground at all
+        cv2.imwrite(str(tmp_path / "i.png"), img)
+        cv2.imwrite(str(tmp_path / "m.png"), mask)
+        out = materialise({"image_path": str(tmp_path / "i.png"),
+                           "mask_path": str(tmp_path / "m.png")})
+        assert out is None
+
+
+class TestGraphCache:
+    def test_cache_hit_and_corrupt_rebuild(self, tmp_path):
+        samples = make_synthetic_dataset(n=2, size=64, seed=5)
+        cfg = SuperpixelGraphConfig(n_segments=30)
+        cache = tmp_path / "cache"
+
+        r1 = prepare_dataset(samples, cfg, cache_dir=cache)
+        files = sorted(cache.glob("*.npz"))
+        assert len(files) == 2
+
+        t0 = time.perf_counter()
+        r2 = prepare_dataset(samples, cfg, cache_dir=cache)
+        cached_time = time.perf_counter() - t0
+        assert cached_time < 2.0          # loads, doesn't rebuild
+        np.testing.assert_allclose(np.asarray(r1[0][0].x),
+                                   np.asarray(r2[0][0].x))
+
+        # Corrupt one entry → silently rebuilt, result still complete.
+        files[0].write_bytes(b"garbage")
+        r3 = prepare_dataset(samples, cfg, cache_dir=cache)
+        assert len(r3) == 2
+        np.testing.assert_allclose(np.asarray(r1[0][0].x),
+                                   np.asarray(r3[0][0].x))
+
+    def test_cache_key_respects_config(self, tmp_path):
+        samples = make_synthetic_dataset(n=1, size=64, seed=5)
+        cache = tmp_path / "cache"
+        prepare_dataset(samples, SuperpixelGraphConfig(n_segments=30),
+                        cache_dir=cache)
+        prepare_dataset(samples, SuperpixelGraphConfig(n_segments=40),
+                        cache_dir=cache)
+        assert len(list(cache.glob("*.npz"))) == 2
+
+    def test_bad_sample_is_isolated(self, tmp_path):
+        samples = make_synthetic_dataset(n=2, size=64, seed=5)
+        samples.insert(1, {"image_path": "/nonexistent.png",
+                           "mask_path": "/nonexistent_m.png"})
+        recs = prepare_dataset(samples, SuperpixelGraphConfig(n_segments=30))
+        assert len(recs) == 2   # the bad one dropped, the rest survive
+
+
+class TestAugmentation:
+    def test_shapes_preserved_and_deterministic(self, circle_image):
+        img, mask = circle_image
+        a1 = augment_sample(img, mask, np.random.RandomState(9),
+                            prob_flip=1.0, prob_rotate=1.0,
+                            prob_color=1.0, prob_crop=1.0)
+        a2 = augment_sample(img, mask, np.random.RandomState(9),
+                            prob_flip=1.0, prob_rotate=1.0,
+                            prob_color=1.0, prob_crop=1.0)
+        assert a1[0].shape == img.shape and a1[1].shape == mask.shape
+        np.testing.assert_array_equal(a1[0], a2[0])
+        assert set(np.unique(a1[1])) <= {0, 1}
