@@ -84,6 +84,83 @@ def sharded_scatter_add(mesh: Mesh, n_nodes: int):
         out_specs=P(axis, None))
 
 
+def partition_edges_2d(edge_src: np.ndarray, edge_dst: np.ndarray,
+                       edge_mask: np.ndarray, n_nodes: int, n_shards: int):
+    """Bucket edges by (dst block, src block) for the ring schedule.
+
+    Returns (src, dst, mask) shaped (n_shards, n_shards, per_bucket):
+    bucket [i, j] holds the edges whose destination lies in node block i and
+    source in node block j, with indices made block-relative.  For
+    spatially-sorted superpixel graphs the mass concentrates on near-
+    diagonal buckets, so the static per-bucket budget stays modest.
+    """
+    block = (n_nodes + n_shards - 1) // n_shards
+    di = np.minimum(edge_dst // block, n_shards - 1)
+    sj = np.minimum(edge_src // block, n_shards - 1)
+    valid = edge_mask > 0
+
+    counts = np.zeros((n_shards, n_shards), np.int64)
+    np.add.at(counts, (di[valid], sj[valid]), 1)
+    per_bucket = max(1, int(counts.max()))
+
+    src = np.zeros((n_shards, n_shards, per_bucket), np.int32)
+    dst = np.zeros((n_shards, n_shards, per_bucket), np.int32)
+    msk = np.zeros((n_shards, n_shards, per_bucket), np.float32)
+    fill = np.zeros((n_shards, n_shards), np.int64)
+    for e in np.nonzero(valid)[0]:
+        i, j = di[e], sj[e]
+        k = fill[i, j]
+        src[i, j, k] = edge_src[e] - j * block
+        dst[i, j, k] = edge_dst[e] - i * block
+        msk[i, j, k] = 1.0
+        fill[i, j] = k + 1
+    return src, dst, msk
+
+
+def ring_scatter_add(mesh: Mesh, n_nodes: int):
+    """Ring-scheduled edge-partitioned aggregation: (x, src2d, dst2d,
+    mask2d) → out, with x sharded P("graph") on the node axis.
+
+    Instead of all-gathering the full node axis (peak memory O(N) per
+    device), each device's block circulates around the ring via
+    `lax.ppermute`; at step s every device aggregates the bucket of edges
+    whose sources live in the block it currently holds.  Peak memory is
+    O(N / n) and the permute of step s+1 can overlap the bucket-s compute.
+    """
+    axis = "graph"
+
+    def local(x_blk, src_b, dst_b, mask_b):
+        # src_b/dst_b/mask_b: (1, n_shards, per_bucket) — this shard's row.
+        n = jax.lax.axis_size(axis)
+        i = jax.lax.axis_index(axis)
+        block = x_blk.shape[0]
+        perm = [(k, (k + 1) % n) for k in range(n)]
+
+        def step(s, carry):
+            x_rot, acc = carry
+            j = (i - s) % n                       # owner of x_rot's block
+            src = jax.lax.dynamic_index_in_dim(
+                src_b[0], j, axis=0, keepdims=False)
+            dst = jax.lax.dynamic_index_in_dim(
+                dst_b[0], j, axis=0, keepdims=False)
+            m = jax.lax.dynamic_index_in_dim(
+                mask_b[0], j, axis=0, keepdims=False)
+            msgs = x_rot[jnp.clip(src, 0, block - 1)] * m[:, None]
+            acc = acc.at[jnp.clip(dst, 0, block - 1)].add(msgs)
+            x_rot = jax.lax.ppermute(x_rot, axis, perm)
+            return x_rot, acc
+
+        _, acc = jax.lax.fori_loop(
+            0, n, step, (x_blk, jnp.zeros_like(x_blk)))
+        return acc
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None, None)),
+        out_specs=P(axis, None))
+
+
 def sharded_gcn_layer(mesh: Mesh, n_nodes: int):
     """Edge-partitioned GCN propagation: h' = D^-1/2 (A+I) D^-1/2 h W.
 
