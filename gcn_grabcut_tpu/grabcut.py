@@ -194,17 +194,31 @@ def _grabcut_solve_batch(pix, masks, comps, gamma, n_iter, n_components):
     return jax.vmap(one)(pix, masks, comps)
 
 
+# Above this many total pixels the batched solve falls back to per-image
+# fused solves: the vmapped while-loop program at e.g. 8 x 512^2 blows past
+# this backend's compile budget, while the per-image program is already
+# cached from the scalar path.
+BATCH_SOLVE_PIXEL_BUDGET = 2_000_000
+
+
 def run_batch_with_trimaps(images: np.ndarray, trimaps: np.ndarray,
                            config: Optional[GrabCutConfig] = None
                            ) -> np.ndarray:
     """Batched GrabCut: (B, H, W, 3) uint8 RGB + (B, H, W) trimaps →
-    (B, H, W) uint8 binary masks, one fused device program.
+    (B, H, W) uint8 binary masks, one fused device program (or per-image
+    fused solves beyond BATCH_SOLVE_PIXEL_BUDGET).
 
     Degenerate trimaps are repaired per image exactly as in the scalar
     path; images whose trimap stays one-sided keep their own labelling.
     """
     config = config or GrabCutConfig()
     B = images.shape[0]
+    if B * images.shape[1] * images.shape[2] > BATCH_SOLVE_PIXEL_BUDGET:
+        out = np.zeros(trimaps.shape, np.uint8)
+        for b in range(B):
+            gc = GrabCut(images[b], config)
+            out[b] = gc.run_with_trimap(trimaps[b])
+        return out
     trimaps = trimaps.astype(np.uint8).copy()
 
     degenerate = np.zeros(B, bool)
