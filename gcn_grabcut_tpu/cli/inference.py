@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("--refine-iters", type=int, default=0)
     p.add_argument("--keep-largest", action="store_true")
     p.add_argument("--no-edge-aware", action="store_true")
+    p.add_argument("--fixed-size", action="store_true",
+                   help="resize every image to exactly max-size x max-size "
+                        "(one compile signature for the whole directory; "
+                        "masks are resized back to the original geometry)")
     p.add_argument("--save", nargs="+", default=["mask", "overlay"],
                    choices=["mask", "overlay", "rgba", "trimap"])
     p.add_argument("--cpu", action="store_true")
@@ -76,11 +80,15 @@ def main(argv=None):
             print(f"[Inference] unreadable: {f}")
             continue
         img = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
-        H, W = img.shape[:2]
-        scale = args.max_size / max(H, W)
-        if scale < 1.0:
-            img = cv2.resize(img, (int(W * scale), int(H * scale)),
+        H0, W0 = img.shape[:2]
+        if args.fixed_size:
+            img = cv2.resize(img, (args.max_size, args.max_size),
                              interpolation=cv2.INTER_LINEAR)
+        else:
+            scale = args.max_size / max(H0, W0)
+            if scale < 1.0:
+                img = cv2.resize(img, (int(W0 * scale), int(H0 * scale)),
+                                 interpolation=cv2.INTER_LINEAR)
 
         t = time.perf_counter()
         res = pipe.segment(
@@ -89,6 +97,16 @@ def main(argv=None):
             edge_aware=not args.no_edge_aware,
             filter_radius=args.filter_radius)
         total = time.perf_counter() - t
+
+        if args.fixed_size and (H0, W0) != res.binary_mask.shape:
+            res.binary_mask = cv2.resize(res.binary_mask, (W0, H0),
+                                         interpolation=cv2.INTER_NEAREST)
+            res.trimap = cv2.resize(res.trimap, (W0, H0),
+                                    interpolation=cv2.INTER_NEAREST)
+            res.overlay = cv2.resize(res.overlay, (W0, H0),
+                                     interpolation=cv2.INTER_LINEAR)
+            res.rgba = cv2.resize(res.rgba, (W0, H0),
+                                  interpolation=cv2.INTER_LINEAR)
 
         stages = "  ".join(f"{k}={v:.2f}s" for k, v in res.timing.items())
         print(f"[Inference] {f.name}: {total:.2f}s ({stages}) "

@@ -70,9 +70,9 @@ def _zero_border(cap: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=(
     "connectivity", "max_outer", "sweeps_per_round", "relabel_iters"))
 def grid_mincut(excess: jnp.ndarray, caps: tuple,
-                connectivity: int = 8, max_outer: int = 200,
+                connectivity: int = 8, max_outer: int = 400,
                 sweeps_per_round: int = 12,
-                relabel_iters: int = 64) -> jnp.ndarray:
+                relabel_iters: int | None = None) -> jnp.ndarray:
     """Solve the s-t min-cut on an (H, W) lattice.
 
     Parameters
@@ -90,6 +90,12 @@ def grid_mincut(excess: jnp.ndarray, caps: tuple,
     assert len(caps) == len(offsets)
     H, W = excess.shape
     INF = jnp.int32(H * W + 1)
+    if relabel_iters is None:
+        # The BFS must be allowed to reach the full residual-path diameter;
+        # it early-exits at the fixpoint, so the generous cap only costs
+        # time on genuinely long-distance instances.  (A tight cap silently
+        # yields SUBOPTIMAL cuts: nodes beyond it look sink-disconnected.)
+        relabel_iters = 4 * (H + W)
 
     # Residuals per undirected direction: r_fwd[p] = residual p → p+off,
     # r_bwd[p] = residual p+off → p.  Border arcs get zero capacity.

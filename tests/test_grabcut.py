@@ -167,3 +167,41 @@ class TestGrabCut:
         inter = np.logical_and(ours > 0, theirs > 0).sum()
         union = np.logical_or(ours > 0, theirs > 0).sum()
         assert inter / max(union, 1) > 0.9
+
+
+class TestMinCutLongDistance:
+    def test_distant_seeds_still_optimal(self):
+        """Regression: a bounded global-relabel cap used to mark far nodes
+        sink-disconnected, yielding a silently suboptimal (13% worse) cut.
+        The default cap now scales with the grid diameter."""
+        from gcn_grabcut_tpu.native import (native_available,
+                                            grid_mincut_native)
+        if not native_available():
+            pytest.skip("no C++ toolchain")
+        r = np.random.RandomState(5)
+        H = W = 96
+        excess = (r.randn(H, W) * 0.5).astype(np.float32)
+        excess[5:12, 5:12] = 500.0
+        excess[-12:-5, -12:-5] = -500.0
+        caps = tuple((r.rand(H, W) * 2 + 0.5).astype(np.float32)
+                     for _ in OFFSETS_8)
+        fg_j = np.asarray(grid_mincut(
+            jnp.asarray(excess), tuple(map(jnp.asarray, caps)),
+            connectivity=8))
+        fg_n = grid_mincut_native(excess, caps, 8)
+        c_j = _cut_cost_vec(excess, caps, fg_j.astype(int))
+        c_n = _cut_cost_vec(excess, caps, fg_n.astype(int))
+        assert abs(c_j - c_n) / c_n < 1e-4
+
+
+def _cut_cost_vec(excess, caps, lab):
+    src_cap = np.maximum(excess, 0)
+    snk_cap = np.maximum(-excess, 0)
+    H, W = excess.shape
+    cost = np.sum(snk_cap[lab == 1]) + np.sum(src_cap[lab == 0])
+    for c, (dy, dx) in zip(caps, OFFSETS_8):
+        a = lab[max(0, dy):H + min(0, dy), max(0, dx):W + min(0, dx)]
+        b = lab[max(0, -dy):H + min(0, -dy), max(0, -dx):W + min(0, -dx)]
+        cc = c[max(0, -dy):H + min(0, -dy), max(0, -dx):W + min(0, -dx)]
+        cost += np.sum(cc * (a != b))
+    return cost
