@@ -22,6 +22,9 @@ def parse_args(argv=None):
     p.add_argument("--images", type=str, default=None)
     p.add_argument("--masks", type=str, default=None)
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--hard-synthetic", type=int, default=0,
+                   help="evaluate on N held-out hard-synthetic samples")
+    p.add_argument("--hard-size", type=int, default=192)
     p.add_argument("--synthetic-seed", type=int, default=777)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--n-segments", type=int, default=500)
@@ -51,7 +54,8 @@ def main(argv=None):
     from ..pipeline import GCNGrabCutPipeline
     from ..graph_build import SuperpixelGraphConfig
     from ..data.dataset import (
-        make_synthetic_dataset, list_image_mask_pairs, materialise)
+        make_synthetic_dataset, make_hard_synthetic_dataset,
+        list_image_mask_pairs, materialise)
     from ..metrics import evaluate
     from ..models.factory import probs_to_trimap
     from ..graph_build import build_graph
@@ -60,7 +64,11 @@ def main(argv=None):
     sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
     pipe = GCNGrabCutPipeline(model, variables, sp_cfg)
 
-    if args.synthetic:
+    if args.hard_synthetic:
+        samples = make_hard_synthetic_dataset(
+            n=args.hard_synthetic, size=args.hard_size,
+            seed=args.synthetic_seed)
+    elif args.synthetic:
         samples = make_synthetic_dataset(n=args.synthetic,
                                          seed=args.synthetic_seed)
     else:
