@@ -188,3 +188,36 @@ class TestRingAggregation:
         ref = np.zeros_like(x)
         np.add.at(ref, dst[mask > 0], x[src[mask > 0]])
         np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+class TestTools:
+    def test_make_demo_synthetic(self, tmp_path):
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        import make_demo
+        frames = make_demo.main(["--synthetic",
+                                 "--out", str(tmp_path / "demo.gif"),
+                                 "--n-segments", "40"])
+        assert len(frames) == 5
+        assert (tmp_path / "demo.gif").stat().st_size > 0
+
+    def test_make_figures(self, tmp_path):
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        import make_figures
+        make_figures.main(["--out", str(tmp_path / "arch.png")])
+        assert (tmp_path / "arch.png").stat().st_size > 0
+
+    def test_evaluate_cli(self, tmp_path):
+        from gcn_grabcut_tpu.cli.train import main as train_main
+        from gcn_grabcut_tpu.cli.evaluate import main as eval_main
+        train_main([
+            "--synthetic", "8", "--epochs", "1", "--batch", "4",
+            "--hidden", "24", "--layers", "2", "--n-segments", "40",
+            "--save-dir", str(tmp_path / "ck"), "--no-bf16",
+        ])
+        report = eval_main([
+            "--checkpoint", str(tmp_path / "ck" / "final_model.msgpack"),
+            "--synthetic", "4", "--n-segments", "40",
+            "--out", str(tmp_path / "report.json"),
+        ])
+        assert report["n"] == 4
+        assert (tmp_path / "report.json").exists()
