@@ -57,7 +57,6 @@ def main(argv=None):
         make_synthetic_dataset, make_hard_synthetic_dataset,
         list_image_mask_pairs, materialise)
     from ..metrics import evaluate
-    from ..models.factory import probs_to_trimap
     from ..graph_build import build_graph
 
     model, variables, meta = load_model_from_checkpoint(args.checkpoint)

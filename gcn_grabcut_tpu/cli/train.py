@@ -13,8 +13,6 @@ python -m gcn_grabcut_tpu.cli.train --images data/DUTS-TR/imgs \
 from __future__ import annotations
 
 import argparse
-import json
-from pathlib import Path
 
 import numpy as np
 

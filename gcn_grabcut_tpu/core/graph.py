@@ -30,7 +30,6 @@ Conventions (shared with the reference):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import jax
