@@ -39,6 +39,8 @@ def parse_args(argv=None):
                         "masks are resized back to the original geometry)")
     p.add_argument("--save", nargs="+", default=["mask", "overlay"],
                    choices=["mask", "overlay", "rgba", "trimap"])
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute for the GCN forward (TPU fast path)")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
@@ -55,7 +57,12 @@ def main(argv=None):
     from ..pipeline import GCNGrabCutPipeline, colour_trimap
     from ..graph_build import SuperpixelGraphConfig
 
-    model, variables, meta = load_model_from_checkpoint(args.checkpoint)
+    dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16
+    model, variables, meta = load_model_from_checkpoint(args.checkpoint,
+                                                        dtype=dtype)
     print(f"[Inference] Loaded {meta.get('variant', '?')} "
           f"(epoch {meta.get('epoch', '?')}, "
           f"score {meta.get('score', '?')})")

@@ -139,3 +139,60 @@ class TestTrainerIntegration:
         assert all(np.isfinite(hist["train_loss"]))
         leaves = jax.tree.leaves(tr.state.params)
         assert all(bool(jnp.isfinite(x).all()) for x in leaves)
+
+
+class TestTrainerVariants:
+    @pytest.fixture(scope="class")
+    def graphs(self):
+        from gcn_grabcut_tpu.data.dataset import (
+            make_synthetic_dataset, prepare_dataset)
+        from gcn_grabcut_tpu.graph_build import SuperpixelGraphConfig
+        samples = make_synthetic_dataset(n=6, size=64, seed=17)
+        recs = prepare_dataset(samples, SuperpixelGraphConfig(n_segments=30),
+                               keep_segments=False)
+        return [r[0] for r in recs]
+
+    @pytest.mark.parametrize("loss_fn", ["focal", "smooth_ce", "ce"])
+    def test_all_loss_functions_train(self, graphs, loss_fn, tmp_path):
+        from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+        tr = Trainer("resgcn", dict(hidden_channels=16, n_layers=1),
+                     TrainConfig(n_epochs=1, batch_size=4, bf16=False,
+                                 loss_fn=loss_fn, verbose=False,
+                                 save_every=100),
+                     save_dir=tmp_path)
+        hist = tr.fit(graphs)
+        assert np.isfinite(hist["train_loss"][0])
+
+    @pytest.mark.parametrize("sched", ["onecycle", "plateau", "none"])
+    def test_all_schedulers_train(self, graphs, sched, tmp_path):
+        from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+        tr = Trainer("resgcn", dict(hidden_channels=16, n_layers=1),
+                     TrainConfig(n_epochs=2, batch_size=4, bf16=False,
+                                 scheduler=sched, verbose=False,
+                                 save_every=100),
+                     save_dir=tmp_path)
+        hist = tr.fit(graphs[:4], graphs[4:])
+        assert len(hist["train_loss"]) == 2
+
+    def test_sgdr_schedule_shape(self):
+        from gcn_grabcut_tpu.train.trainer import sgdr_schedule
+        import jax.numpy as jnp
+        sched = sgdr_schedule(1e-3, t0=10, t_mult=2, steps_per_epoch=1)
+        lr0 = float(sched(jnp.int32(0)))
+        lr9 = float(sched(jnp.int32(9)))
+        lr10 = float(sched(jnp.int32(10)))   # warm restart
+        assert lr0 == pytest.approx(1e-3, rel=1e-3)
+        assert lr9 < 0.1 * lr0               # near the end of the cycle
+        assert lr10 == pytest.approx(1e-3, rel=1e-3)  # restarted
+        lr29 = float(sched(jnp.int32(29)))   # end of second cycle (len 20)
+        assert lr29 < 0.1 * lr0
+
+    def test_sgd_optimizer_trains(self, graphs, tmp_path):
+        from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+        tr = Trainer("resgcn", dict(hidden_channels=16, n_layers=1),
+                     TrainConfig(n_epochs=1, batch_size=4, bf16=False,
+                                 optimizer="sgd", verbose=False,
+                                 save_every=100),
+                     save_dir=tmp_path)
+        hist = tr.fit(graphs)
+        assert np.isfinite(hist["train_loss"][0])
