@@ -32,7 +32,8 @@ import numpy as np
 from .core.graph import TRIMAP_BG, TRIMAP_FG, TRIMAP_PROB_BG, TRIMAP_PROB_FG
 from .ops import gmm as gmm_ops
 from .ops import image as im
-from .ops.maxflow import grid_mincut, OFFSETS_8
+from .ops.maxflow import (grid_mincut, grid_mincut_stateful,
+                          _fresh_residuals, OFFSETS_8)
 
 
 @dataclasses.dataclass
@@ -108,7 +109,7 @@ def _grabcut_solve(pix: jnp.ndarray, mask: jnp.ndarray, comp0: jnp.ndarray,
                                         ).astype(jnp.float32)
 
     def body(_, carry):
-        mask, comp = carry
+        mask, comp, e_carry, E_prev, r_fwd, r_bwd = carry
         fg_sel, bg_sel = class_masks(mask)
 
         # 1-2. component re-assignment + GMM re-estimation.
@@ -124,21 +125,29 @@ def _grabcut_solve(pix: jnp.ndarray, mask: jnp.ndarray, comp0: jnp.ndarray,
         log_fg = gmm_ops.gmm_log_prob(pix, fg_gmm)
         log_bg = gmm_ops.gmm_log_prob(pix, bg_gmm)
         unknown_excess = jnp.clip(log_fg - log_bg, -lam, lam)
-        excess = jnp.where(mask == TRIMAP_FG, lam,
-                           jnp.where(mask == TRIMAP_BG, -lam,
-                                     unknown_excess))
+        E_t = jnp.where(mask == TRIMAP_FG, lam,
+                        jnp.where(mask == TRIMAP_BG, -lam,
+                                  unknown_excess))
 
-        # 4. min-cut; only probable pixels may change side.
-        fg_side = grid_mincut(excess, caps, connectivity=8)
+        # 4. min-cut with flow recycling (Kohli-Torr dynamic graph cuts):
+        # neighbour capacities are constant across iterations, so the
+        # previous flow stays valid — add the terminal delta to the carried
+        # excess and resume from the carried residuals.
+        e0 = e_carry + (E_t - E_prev)
+        fg_side, e_out, r_fwd, r_bwd = grid_mincut_stateful(
+            e0, r_fwd, r_bwd, connectivity=8)
         probable = (mask == TRIMAP_PROB_BG) | (mask == TRIMAP_PROB_FG)
         new_mask = jnp.where(
             probable,
             jnp.where(fg_side, TRIMAP_PROB_FG, TRIMAP_PROB_BG).astype(
                 mask.dtype),
             mask)
-        return new_mask, comp
+        return new_mask, comp, e_out, E_t, r_fwd, r_bwd
 
-    mask, comp = jax.lax.fori_loop(0, n_iter, body, (mask, comp0))
+    r_fwd0, r_bwd0 = _fresh_residuals(caps, OFFSETS_8)
+    zeros = jnp.zeros_like(pix[..., 0])
+    mask, comp, _, _, _, _ = jax.lax.fori_loop(
+        0, n_iter, body, (mask, comp0, zeros, zeros, r_fwd0, r_bwd0))
     return mask, comp
 
 

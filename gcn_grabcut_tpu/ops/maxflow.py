@@ -67,43 +67,17 @@ def _zero_border(cap: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return cap
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "connectivity", "max_outer", "sweeps_per_round", "relabel_iters"))
-def grid_mincut(excess: jnp.ndarray, caps: tuple,
-                connectivity: int = 8, max_outer: int = 400,
-                sweeps_per_round: int = 12,
-                relabel_iters: int | None = None) -> jnp.ndarray:
-    """Solve the s-t min-cut on an (H, W) lattice.
+def _build_solver(H: int, W: int, offsets, max_outer: int,
+                  sweeps_per_round: int, relabel_iters: int):
+    """Build solve(e, r_fwd, r_bwd) → (fg, e', r_fwd', r_bwd').
 
-    Parameters
-    ----------
-    excess : (H, W) float32 — cap_src - cap_snk per pixel (positive:
-        source-connected surplus; negative: sink capacity).
-    caps : tuple of (H, W) float32 undirected neighbour capacities, one per
-        direction in OFFSETS_4/OFFSETS_8 (capacity of the arc between p and
-        p + offset; both directions share it, as in graph cuts).
-    Returns
-    -------
-    (H, W) bool — True where the pixel is on the SOURCE side (foreground).
+    Accepting arbitrary starting residuals enables *flow recycling*
+    (Kohli & Torr dynamic graph cuts): across GrabCut iterations the
+    neighbour capacities are constant and only terminal capacities move,
+    so the previous flow remains a valid preflow — update the excess by
+    the terminal delta and resume, instead of solving from scratch.
     """
-    offsets = OFFSETS_8 if connectivity == 8 else OFFSETS_4
-    assert len(caps) == len(offsets)
-    H, W = excess.shape
     INF = jnp.int32(H * W + 1)
-    if relabel_iters is None:
-        # The BFS must be allowed to reach the full residual-path diameter;
-        # it early-exits at the fixpoint, so the generous cap only costs
-        # time on genuinely long-distance instances.  (A tight cap silently
-        # yields SUBOPTIMAL cuts: nodes beyond it look sink-disconnected.)
-        relabel_iters = 4 * (H + W)
-
-    # Residuals per undirected direction: r_fwd[p] = residual p → p+off,
-    # r_bwd[p] = residual p+off → p.  Border arcs get zero capacity.
-    r_fwd = [_zero_border(c.astype(jnp.float32), dy, dx)
-             for c, (dy, dx) in zip(caps, offsets)]
-    r_bwd = [r.copy() for r in r_fwd]
-
-    e = excess.astype(jnp.float32)
 
     def global_relabel(e, r_fwd, r_bwd):
         """Exact-ish BFS heights: distance to the nearest deficit node along
@@ -191,11 +165,80 @@ def grid_mincut(excess: jnp.ndarray, caps: tuple,
         active = jnp.any((e > 1e-6) & (h < INF))
         return active & (it < max_outer)
 
-    h0 = global_relabel(e, tuple(r_fwd), tuple(r_bwd))
-    state = (e, h0, tuple(r_fwd), tuple(r_bwd), jnp.int32(0))
-    e, h, r_fwd, r_bwd, _ = jax.lax.while_loop(
-        outer_cond, outer_body, state)
+    def solve(e, r_fwd, r_bwd):
+        e = e.astype(jnp.float32)
+        h0 = global_relabel(e, r_fwd, r_bwd)
+        state = (e, h0, r_fwd, r_bwd, jnp.int32(0))
+        e, h, r_fwd, r_bwd, _ = jax.lax.while_loop(
+            outer_cond, outer_body, state)
+        # Final exact reachability: source side = cannot reach the sink.
+        h = global_relabel(e, r_fwd, r_bwd)
+        return h >= INF, e, r_fwd, r_bwd
 
-    # Final exact reachability: source side = cannot reach the sink.
-    h = global_relabel(e, r_fwd, r_bwd)
-    return h >= INF
+    return solve
+
+
+def _fresh_residuals(caps, offsets):
+    r_fwd = tuple(_zero_border(c.astype(jnp.float32), dy, dx)
+                  for c, (dy, dx) in zip(caps, offsets))
+    r_bwd = tuple(r for r in r_fwd)
+    return r_fwd, r_bwd
+
+
+def _resolve_params(H, W, connectivity, relabel_iters):
+    offsets = OFFSETS_8 if connectivity == 8 else OFFSETS_4
+    if relabel_iters is None:
+        # The BFS must reach the full residual-path diameter; it early-exits
+        # at the fixpoint, so the generous cap only costs time on genuinely
+        # long-distance instances.  (A tight cap silently yields SUBOPTIMAL
+        # cuts: nodes beyond it look sink-disconnected.)
+        relabel_iters = 4 * (H + W)
+    return offsets, relabel_iters
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "connectivity", "max_outer", "sweeps_per_round", "relabel_iters"))
+def grid_mincut(excess: jnp.ndarray, caps: tuple,
+                connectivity: int = 8, max_outer: int = 400,
+                sweeps_per_round: int = 12,
+                relabel_iters: int | None = None) -> jnp.ndarray:
+    """Solve the s-t min-cut on an (H, W) lattice.
+
+    Parameters
+    ----------
+    excess : (H, W) float32 — cap_src - cap_snk per pixel (positive:
+        source-connected surplus; negative: sink capacity).
+    caps : tuple of (H, W) float32 undirected neighbour capacities, one per
+        direction in OFFSETS_4/OFFSETS_8 (capacity of the arc between p and
+        p + offset; both directions share it, as in graph cuts).
+    Returns
+    -------
+    (H, W) bool — True where the pixel is on the SOURCE side (foreground).
+    """
+    H, W = excess.shape
+    offsets, relabel_iters = _resolve_params(H, W, connectivity,
+                                             relabel_iters)
+    assert len(caps) == len(offsets)
+    solve = _build_solver(H, W, offsets, max_outer, sweeps_per_round,
+                          relabel_iters)
+    r_fwd, r_bwd = _fresh_residuals(caps, offsets)
+    fg, _, _, _ = solve(excess, r_fwd, r_bwd)
+    return fg
+
+
+def grid_mincut_stateful(excess: jnp.ndarray, r_fwd: tuple, r_bwd: tuple,
+                         connectivity: int = 8, max_outer: int = 400,
+                         sweeps_per_round: int = 12,
+                         relabel_iters: int | None = None):
+    """Warm-start variant: resume from carried residuals (flow recycling).
+
+    `excess` must already be the carried excess (previous post-solve excess
+    plus the terminal-capacity delta).  Returns (fg, e', r_fwd', r_bwd').
+    Trace-friendly: call inside jit/fori loops.
+    """
+    H, W = excess.shape
+    offsets, relabel_iters = _resolve_params(H, W, connectivity,
+                                             relabel_iters)
+    solve = _build_solver(H, W, offsets, max_outer, sweeps_per_round,
+                          relabel_iters)
+    return solve(excess, tuple(r_fwd), tuple(r_bwd))
