@@ -205,3 +205,35 @@ def _cut_cost_vec(excess, caps, lab):
         cc = c[max(0, -dy):H + min(0, -dy), max(0, -dx):W + min(0, -dx)]
         cost += np.sum(cc * (a != b))
     return cost
+
+
+class TestFlowRecycling:
+    def test_warm_start_matches_cold_after_terminal_change(self):
+        """grid_mincut_stateful resumed after a terminal-capacity change
+        must reach the same optimal cut as a cold solve of the new
+        instance (Kohli-Torr flow recycling)."""
+        from gcn_grabcut_tpu.ops.maxflow import (
+            grid_mincut, grid_mincut_stateful, _fresh_residuals)
+        r = np.random.RandomState(11)
+        H = W = 48
+        E0 = (r.randn(H, W) * 4).astype(np.float32)
+        caps = tuple((r.rand(H, W) * 2 + 0.2).astype(np.float32)
+                     for _ in OFFSETS_8)
+
+        r_fwd, r_bwd = _fresh_residuals(
+            tuple(map(jnp.asarray, caps)), OFFSETS_8)
+        fg0, e_out, r_fwd, r_bwd = grid_mincut_stateful(
+            jnp.asarray(E0), r_fwd, r_bwd, connectivity=8)
+
+        # Perturb terminals and resume from the carried state.
+        E1 = E0 + (r.randn(H, W) * 2).astype(np.float32)
+        e0 = e_out + jnp.asarray(E1 - E0)
+        fg_warm, _, _, _ = grid_mincut_stateful(
+            e0, r_fwd, r_bwd, connectivity=8)
+
+        fg_cold = grid_mincut(jnp.asarray(E1),
+                              tuple(map(jnp.asarray, caps)),
+                              connectivity=8)
+        c_warm = _cut_cost_vec(E1, caps, np.asarray(fg_warm).astype(int))
+        c_cold = _cut_cost_vec(E1, caps, np.asarray(fg_cold).astype(int))
+        assert abs(c_warm - c_cold) <= 1e-3 * max(abs(c_cold), 1.0)
