@@ -221,3 +221,28 @@ class TestTools:
         ])
         assert report["n"] == 4
         assert (tmp_path / "report.json").exists()
+
+
+class TestInferenceFixedSize:
+    def test_fixed_size_restores_original_geometry(self, tmp_path,
+                                                   circle_image):
+        from gcn_grabcut_tpu.cli.train import main as train_main
+        from gcn_grabcut_tpu.cli.inference import main as infer_main
+        train_main([
+            "--synthetic", "8", "--epochs", "1", "--batch", "4",
+            "--hidden", "24", "--layers", "2", "--n-segments", "40",
+            "--save-dir", str(tmp_path / "ck"), "--no-bf16",
+        ])
+        img, _ = circle_image
+        wide = cv2.resize(img, (180, 100))    # non-square original
+        p = tmp_path / "wide.png"
+        cv2.imwrite(str(p), cv2.cvtColor(wide, cv2.COLOR_RGB2BGR))
+        infer_main([
+            "--checkpoint", str(tmp_path / "ck" / "final_model.msgpack"),
+            "--input", str(p), "--output-dir", str(tmp_path / "out"),
+            "--n-segments", "40", "--max-size", "96", "--fixed-size",
+            "--save", "mask",
+        ])
+        mask = cv2.imread(str(tmp_path / "out" / "wide_mask.png"),
+                          cv2.IMREAD_GRAYSCALE)
+        assert mask.shape == (100, 180)       # restored geometry

@@ -169,3 +169,33 @@ class TestBatchedPipeline:
             assert x["image"].shape == (96, 96, 3)
             assert set(np.unique(x["gt_mask"])) <= {0, 1}
             assert 0.02 < x["gt_mask"].mean() < 0.6
+
+
+class TestBatchedGrabCut:
+    def test_vmapped_batch_solve_matches_scalar(self, circle_image):
+        """Below the pixel budget the batched solve runs fully vmapped —
+        it must agree with per-image solves."""
+        from gcn_grabcut_tpu.grabcut import (
+            GrabCut, GrabCutConfig, run_batch_with_trimaps)
+        img, gt = circle_image
+        trimap = np.where(gt > 0, 3, 2).astype(np.uint8)
+        imgs = np.stack([img, img[::-1].copy()])
+        trimaps = np.stack([trimap, trimap[::-1].copy()])
+        cfg = GrabCutConfig(n_iter=2)
+        batch_masks = run_batch_with_trimaps(imgs, trimaps, cfg)
+        for b in range(2):
+            gc = GrabCut(imgs[b], GrabCutConfig(n_iter=2,
+                                                backend="device"))
+            scalar = gc.run_with_trimap(trimaps[b])
+            agree = (batch_masks[b] == scalar).mean()
+            assert agree > 0.98
+
+    def test_degenerate_member_keeps_own_labelling(self, circle_image):
+        from gcn_grabcut_tpu.grabcut import run_batch_with_trimaps
+        img, gt = circle_image
+        ok = np.where(gt > 0, 3, 2).astype(np.uint8)
+        degenerate = np.full_like(ok, 3)      # all probable-FG
+        masks = run_batch_with_trimaps(
+            np.stack([img, img]), np.stack([ok, degenerate]))
+        assert masks[1].all()                 # trimap's own labelling
+        assert 0 < masks[0].mean() < 1
