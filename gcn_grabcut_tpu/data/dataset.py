@@ -21,7 +21,6 @@ from __future__ import annotations
 import hashlib
 import os
 import time
-import zlib
 import logging
 from pathlib import Path
 from typing import Optional
@@ -36,52 +35,69 @@ logger = logging.getLogger(__name__)
 
 
 # -----------------------------------------------------------------------
-# Augmentation (reference dataset.py:107-168), seeded via RandomState
+# Augmentation — applied as a chain of independently-gated ops, each drawn
+# from its own RandomState stream position so a descriptor's pixels are a
+# pure function of its seed.  The op set and magnitude ranges deliberately
+# mirror the reference training distribution (flip / ±15° rotation /
+# photometric jitter / 75-100% crop-zoom, reference dataset.py:107-168) so
+# models trained here see the same data statistics.
 # -----------------------------------------------------------------------
 
 def augment_sample(image: np.ndarray, mask: np.ndarray,
                    rng: np.random.RandomState,
                    prob_flip: float = 0.5, prob_rotate: float = 0.3,
                    prob_color: float = 0.5, prob_crop: float = 0.3):
-    """Stochastic flip / rotation / colour jitter / crop-zoom."""
-    H, W = image.shape[:2]
+    """Stochastic geometric + photometric augmentation of an (image, mask)
+    pair; geometry always warps both arrays with matched interpolation
+    (linear for pixels, nearest for labels)."""
+    H, W = mask.shape[:2]
 
-    if rng.rand() < prob_flip:
-        image = image[:, ::-1].copy()
-        mask = mask[:, ::-1].copy()
+    def flip(img, msk):
+        return (np.ascontiguousarray(img[:, ::-1]),
+                np.ascontiguousarray(msk[:, ::-1]))
 
-    if rng.rand() < prob_rotate:
-        angle = rng.uniform(-15, 15)
-        M = cv2.getRotationMatrix2D((W / 2, H / 2), angle, 1.0)
-        image = cv2.warpAffine(image, M, (W, H), flags=cv2.INTER_LINEAR,
-                               borderMode=cv2.BORDER_REFLECT)
-        mask = cv2.warpAffine(mask.astype(np.uint8), M, (W, H),
-                              flags=cv2.INTER_NEAREST,
-                              borderMode=cv2.BORDER_REFLECT)
+    def rotate(img, msk):
+        rot = cv2.getRotationMatrix2D((W / 2.0, H / 2.0),
+                                      rng.uniform(-15.0, 15.0), 1.0)
 
-    if rng.rand() < prob_color:
-        image = _color_jitter(image, rng)
+        def warp(a, interp):
+            return cv2.warpAffine(a, rot, (W, H), flags=interp,
+                                  borderMode=cv2.BORDER_REFLECT)
+        return warp(img, cv2.INTER_LINEAR), warp(msk.astype(np.uint8),
+                                                 cv2.INTER_NEAREST)
 
-    if rng.rand() < prob_crop:
-        scale = rng.uniform(0.75, 1.0)
-        ch, cw = int(H * scale), int(W * scale)
+    def recolor(img, msk):
+        return _photometric_jitter(img, rng), msk
+
+    def crop_zoom(img, msk):
+        s = rng.uniform(0.75, 1.0)
+        ch, cw = max(1, round(H * s)), max(1, round(W * s))
         y0 = rng.randint(0, H - ch + 1)
         x0 = rng.randint(0, W - cw + 1)
-        image = cv2.resize(image[y0:y0 + ch, x0:x0 + cw], (W, H),
-                           interpolation=cv2.INTER_LINEAR)
-        mask = cv2.resize(mask[y0:y0 + ch, x0:x0 + cw], (W, H),
-                          interpolation=cv2.INTER_NEAREST)
 
+        def grow(a, interp):
+            return cv2.resize(a[y0:y0 + ch, x0:x0 + cw], (W, H),
+                              interpolation=interp)
+        return grow(img, cv2.INTER_LINEAR), grow(msk, cv2.INTER_NEAREST)
+
+    chain = ((prob_flip, flip), (prob_rotate, rotate),
+             (prob_color, recolor), (prob_crop, crop_zoom))
+    for prob, op in chain:
+        if rng.rand() < prob:
+            image, mask = op(image, mask)
     return image, mask
 
 
-def _color_jitter(image: np.ndarray, rng: np.random.RandomState):
-    img = image.astype(np.float32)
-    img = np.clip(img + rng.uniform(-40, 40), 0, 255)
-    img = np.clip(128 + rng.uniform(0.7, 1.3) * (img - 128), 0, 255)
-    hsv = cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2HSV)
-    hsv = hsv.astype(np.float32)
-    hsv[:, :, 1] = np.clip(hsv[:, :, 1] * rng.uniform(0.7, 1.3), 0, 255)
+def _photometric_jitter(image: np.ndarray, rng: np.random.RandomState):
+    """Brightness shift, contrast scale about mid-grey, saturation scale."""
+    shift = rng.uniform(-40.0, 40.0)
+    gain = rng.uniform(0.7, 1.3)
+    sat = rng.uniform(0.7, 1.3)
+    out = np.clip(image.astype(np.float32) + shift, 0.0, 255.0)
+    out = np.clip(128.0 + gain * (out - 128.0), 0.0, 255.0)
+    hsv = cv2.cvtColor(out.astype(np.uint8),
+                       cv2.COLOR_RGB2HSV).astype(np.float32)
+    hsv[..., 1] = np.clip(hsv[..., 1] * sat, 0.0, 255.0)
     return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
 
 
@@ -139,86 +155,123 @@ def prepare_sample(sample: dict,
 
 
 # -----------------------------------------------------------------------
-# Descriptors + decode (reference dataset.py:263-360)
+# Descriptors + decode.  A descriptor is a lazy reference to a sample —
+# paths, resize target, deterministic augmentation seed — so enumerating a
+# 10k-image dataset costs kilobytes and actual decoding happens only where
+# the pixels are consumed (same lazy contract as the reference data layer,
+# dataset.py:263-360, structured here around a single mask-directory index
+# and a derived-seed helper).
 # -----------------------------------------------------------------------
 
 _IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
+
+# A GT mask smaller than this in either class cannot seed a two-sided
+# colour model downstream; such samples are dropped at decode time (the
+# reference applies the same 200-px rule).
+MIN_CLASS_PIXELS = 200
+
+
+def _derived_seed(name: str, seed: int, copy: int) -> int:
+    """Deterministic, interpreter-stable augmentation seed for a named
+    sample copy (Python's str hash is salted per process, so it cannot key
+    caches — a digest can)."""
+    digest = hashlib.sha1(f"{name}/{copy}/{seed}".encode()).digest()
+    return int.from_bytes(digest[:4], "little") & 0x7FFFFFFF
 
 
 def list_image_mask_pairs(images_dir, masks_dir, max_size: int = 512,
                           augment_copies: int = 0, seed: int = 0
                           ) -> list[dict]:
-    """Enumerate pairs as descriptors (paths + resize target + aug seed) —
-    nothing is decoded here, so huge datasets cost kilobytes in the parent.
-    Aug seeds use crc32, which is stable across interpreter runs (unlike
-    salted str hashing)."""
+    """Pair every image with the mask sharing its stem and return lazy
+    descriptors (augmented copies get derived seeds, not pixels)."""
     images_dir, masks_dir = Path(images_dir), Path(masks_dir)
-    out, missing = [], 0
-    for img_path in sorted(p for p in images_dir.iterdir()
-                           if p.suffix.lower() in _IMAGE_EXTS):
-        mask_path = next((masks_dir / (img_path.stem + ext)
-                          for ext in (".png", ".jpg", ".bmp", ".tif")
-                          if (masks_dir / (img_path.stem + ext)).exists()),
-                         None)
-        if mask_path is None:
-            missing += 1
+
+    # Single scan of the mask directory → stem index; pairing is then a
+    # dict lookup per image instead of per-extension existence probes.
+    mask_for_stem: dict[str, Path] = {}
+    for p in sorted(masks_dir.iterdir()):
+        if p.suffix.lower() in _IMAGE_EXTS:
+            mask_for_stem.setdefault(p.stem, p)
+
+    descriptors, unmatched = [], 0
+    for img_path in sorted(images_dir.iterdir()):
+        if img_path.suffix.lower() not in _IMAGE_EXTS:
             continue
-        base = dict(image_path=str(img_path), mask_path=str(mask_path),
-                    max_size=max_size)
-        out.append({**base, "name": img_path.stem, "aug_seed": None})
-        stem_id = zlib.crc32(img_path.stem.encode()) % 100003
-        for k in range(augment_copies):
-            out.append({**base, "name": f"{img_path.stem}_aug{k}",
-                        "aug_seed": seed + 1000003 * k + stem_id})
-    print(f"[Dataset] {len(out)} descriptors from {images_dir.name} "
-          f"({missing} without a mask)")
-    return out
+        mask_path = mask_for_stem.get(img_path.stem)
+        if mask_path is None:
+            unmatched += 1
+            continue
+        for copy in range(augment_copies + 1):
+            descriptors.append({
+                "image_path": str(img_path),
+                "mask_path": str(mask_path),
+                "max_size": max_size,
+                "name": (img_path.stem if copy == 0
+                         else f"{img_path.stem}_aug{copy - 1}"),
+                "aug_seed": (None if copy == 0
+                             else _derived_seed(img_path.stem, seed, copy)),
+            })
+    print(f"[Dataset] indexed {images_dir.name}: {len(descriptors)} "
+          f"descriptor(s); {unmatched} image(s) lacked a mask")
+    return descriptors
+
+
+def _imread_retry(path: str, flags: int = cv2.IMREAD_COLOR,
+                  attempts: int = 3) -> Optional[np.ndarray]:
+    """cv2.imread signals transient I/O trouble (network mounts, eventual-
+    consistency blob stores) by returning None — retry briefly with a
+    growing pause before declaring the file unreadable."""
+    for attempt in range(attempts):
+        data = cv2.imread(path, flags)
+        if data is not None:
+            return data
+        if attempt + 1 < attempts:
+            time.sleep(0.04 * (2 ** attempt))
+    return None
+
+
+def _fit_longest_edge(a: np.ndarray, max_size: int,
+                      interp: int) -> np.ndarray:
+    """Downscale so the longest edge is max_size (never upscales)."""
+    longest = max(a.shape[:2])
+    if longest <= max_size:
+        return a
+    s = max_size / longest
+    new_wh = (max(1, round(a.shape[1] * s)), max(1, round(a.shape[0] * s)))
+    return cv2.resize(a, new_wh, interpolation=interp)
 
 
 def materialise(sample: dict) -> Optional[dict]:
-    """Descriptor → decoded pixels with retries and seeded augmentation.
-
-    Decodes are retried (flaky/remote storage surfaces intermittent None
-    from cv2.imread — reference dataset.py:329-341); degenerate masks
-    (<200 px either class) are dropped."""
+    """Descriptor → decoded sample dict, or None if the pair is unreadable
+    or its mask is degenerate (< MIN_CLASS_PIXELS in either class).
+    Augmented descriptors replay their seed, so the same descriptor always
+    yields the same pixels (what makes the graph cache content-stable)."""
     if "image" in sample and "gt_mask" in sample:
-        return sample
+        return sample  # already pixel-backed
 
-    image = mask = None
-    for attempt in range(3):
-        image = cv2.imread(sample["image_path"])
-        mask = cv2.imread(sample["mask_path"], cv2.IMREAD_GRAYSCALE)
-        if image is not None and mask is not None:
-            break
-        time.sleep(0.05 * (attempt + 1))
-    if image is None or mask is None:
+    bgr = _imread_retry(sample["image_path"])
+    raw_mask = _imread_retry(sample["mask_path"], cv2.IMREAD_GRAYSCALE)
+    if bgr is None or raw_mask is None:
         logger.warning("unreadable pair: %s", sample.get("image_path"))
         return None
 
-    image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
-    image, mask = _resize_pair(image, mask, sample.get("max_size", 512))
-    gt_mask = (mask > 127).astype(np.uint8)
+    max_size = sample.get("max_size", 512)
+    image = _fit_longest_edge(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB),
+                              max_size, cv2.INTER_LINEAR)
+    gt_mask = (_fit_longest_edge(raw_mask, max_size, cv2.INTER_NEAREST)
+               > 127).astype(np.uint8)
 
     if sample.get("aug_seed") is not None:
-        rng = np.random.RandomState(sample["aug_seed"] % (2 ** 31))
-        image, gt_mask = augment_sample(image, gt_mask, rng,
+        stream = np.random.RandomState(sample["aug_seed"] % (2 ** 31))
+        image, gt_mask = augment_sample(image, gt_mask, stream,
                                         prob_flip=0.5, prob_rotate=0.4,
                                         prob_color=0.6, prob_crop=0.4)
 
-    if gt_mask.sum() < 200 or (1 - gt_mask).sum() < 200:
+    fg = int(gt_mask.sum())
+    if min(fg, gt_mask.size - fg) < MIN_CLASS_PIXELS:
         return None
     return {"image": image, "gt_mask": gt_mask,
             "name": sample.get("name", "")}
-
-
-def _resize_pair(image, mask, max_size):
-    H, W = image.shape[:2]
-    scale = max_size / max(H, W)
-    if scale < 1.0:
-        nW, nH = int(W * scale), int(H * scale)
-        image = cv2.resize(image, (nW, nH), interpolation=cv2.INTER_LINEAR)
-        mask = cv2.resize(mask, (nW, nH), interpolation=cv2.INTER_NEAREST)
-    return image, mask
 
 
 # -----------------------------------------------------------------------
@@ -354,7 +407,11 @@ def load_image_mask_dataset(images_dir, masks_dir, max_size: int = 512,
 
 def make_synthetic_dataset(n: int = 200, size: int = 128, seed: int = 42
                            ) -> list[dict]:
-    """Seeded geometric shapes (circle/rect/ellipse/ring/L) + noise."""
+    """Seeded geometric shapes (circle/rect/ellipse/ring/L) + noise.
+
+    The shape set, size ranges and noise magnitudes intentionally match the
+    reference CI fixture's distribution (dataset.py:667-749) so parity
+    tests and smoke-training runs see statistically comparable data."""
     rng = np.random.RandomState(seed)
     samples = []
     for i in range(n):
