@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--no-bf16", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (debug)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="data-parallel training over N devices "
+                        "(0 = single device; N must divide --batch or the "
+                        "batch is rounded to a multiple of N)")
     return p.parse_args(argv)
 
 
@@ -104,10 +108,22 @@ def main(argv=None):
         bf16=not args.no_bf16, early_stop_patience=args.patience,
         t0=max(args.epochs // 3, 1), seed=args.seed, log_dir=args.log_dir)
 
+    mesh = None
+    if args.devices > 1:
+        import jax
+        from ..parallel.mesh import init_distributed, make_mesh
+        init_distributed()
+        avail = len(jax.devices())
+        if avail < args.devices:
+            raise SystemExit(f"--devices {args.devices} but only {avail} "
+                             "device(s) visible")
+        mesh = make_mesh(n_data=args.devices, n_graph=1)
+        print(f"[Train] data-parallel over {args.devices} device(s)")
+
     trainer = Trainer(args.model,
                       dict(hidden_channels=args.hidden,
                            n_layers=args.layers, dropout=args.dropout),
-                      cfg, save_dir=args.save_dir)
+                      cfg, save_dir=args.save_dir, mesh=mesh)
     history = trainer.fit([r[0] for r in train_recs],
                           [r[0] for r in val_recs],
                           resume_from=args.resume)

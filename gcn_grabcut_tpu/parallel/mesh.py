@@ -44,8 +44,12 @@ def init_distributed(coordinator_address: Optional[str] = None,
                 num_processes=num_processes, process_id=process_id)
         elif num_processes is not None or _in_cluster_env():
             jax.distributed.initialize()
-    except (RuntimeError, ValueError) as exc:  # already initialised / solo
-        if "already" not in str(exc):
+    except (RuntimeError, ValueError) as exc:
+        # Tolerate the two single-process situations: the service is already
+        # initialised, or the XLA backend came up first (single-host run in
+        # an environment whose env vars merely look cluster-like).
+        msg = str(exc)
+        if "already" not in msg and "must be called before" not in msg:
             raise
 
 

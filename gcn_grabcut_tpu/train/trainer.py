@@ -13,7 +13,13 @@ TPU-native counterpart of the reference Trainer
   group labels (the reference builds torch param_groups, model.py:559-590);
 * graphs are bucketed to a common static budget and batches are gathers
   from one stacked array — the last partial batch wraps around with zero
-  graph-weights instead of recompiling at a new shape.
+  graph-weights instead of recompiling at a new shape;
+* distribution is first-class (the reference is single-device, SURVEY
+  §2.9/§5.8): pass a `jax.sharding.Mesh` and the same jit'd step runs
+  data-parallel — parameters/optimiser state replicated, the graph-batch
+  axis sharded over the mesh's "data" axis, gradient psums and the masked
+  eval reductions inserted by XLA.  Losses and metrics are bitwise
+  independent of the mesh up to float reduction order.
 """
 
 from __future__ import annotations
@@ -170,13 +176,20 @@ class Trainer:
     model_kwargs  : forwarded to build_model
     config        : TrainConfig
     save_dir      : checkpoint directory
+    mesh          : optional jax.sharding.Mesh with a "data" axis — enables
+                    data-parallel training: the batch's graph axis is
+                    sharded over "data", state is replicated, and the batch
+                    size is rounded to a multiple of the axis size.
     """
 
     def __init__(self, model_variant: str = "resgcn",
                  model_kwargs: Optional[dict] = None,
                  config: Optional[TrainConfig] = None,
-                 save_dir: str | Path = "checkpoints"):
+                 save_dir: str | Path = "checkpoints",
+                 mesh=None):
         self.cfg = config or TrainConfig()
+        self.mesh = mesh
+        self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
         self.variant = model_variant
         self.model_kwargs = dict(model_kwargs or {})
         if self.cfg.bf16:
@@ -270,22 +283,43 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+            self.state = replicate(self.state, self.mesh)
+
+    def _batch_size(self, n: int) -> int:
+        """Static per-step graph count: capped by the dataset, rounded to a
+        multiple of the mesh's data axis so every shard is non-empty."""
+        bs = min(max(1, self.cfg.batch_size), max(n, 1))
+        if self._n_data > 1:
+            bs = max(self._n_data, (bs // self._n_data) * self._n_data)
+        return bs
+
     def _batches(self, data: GraphBatch, rng: np.random.RandomState,
                  shuffle: bool):
         """Yield (batch, graph_weight) with a static batch size; the last
         batch wraps with zero-weight duplicates."""
         n = data.n_graphs
-        bs = min(max(1, self.cfg.batch_size), n)
+        bs = self._batch_size(n)
         order = rng.permutation(n) if shuffle else np.arange(n)
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            sharding = batch_sharding(self.mesh)
         for i in range(0, n, bs):
             idx = order[i:i + bs]
             w = np.ones(bs, np.float32)
             if len(idx) < bs:
                 w[len(idx):] = 0.0
-                idx = np.concatenate([idx, order[:bs - len(idx)]])
+                idx = np.concatenate([idx, np.resize(order, bs - len(idx))])
             batch = jax.tree.map(lambda a: jnp.take(a, jnp.asarray(idx),
                                                     axis=0), data)
-            yield batch, jnp.asarray(w)
+            w = jnp.asarray(w)
+            if sharding is not None:
+                batch = jax.tree.map(
+                    lambda a: jax.device_put(a, sharding), batch)
+                w = jax.device_put(w, sharding)
+            yield batch, w
 
     # ------------------------------------------------------------------
 
@@ -314,7 +348,7 @@ class Trainer:
             val_data = pad_graph(val_data, n_max, e_max)
 
         n = train_data.n_graphs
-        bs = min(max(1, cfg.batch_size), n)
+        bs = self._batch_size(n)
         steps_per_epoch = (n + bs - 1) // bs
 
         example = jax.tree.map(lambda a: a[:min(bs, n)], train_data)

@@ -129,6 +129,43 @@ class TestTrainerIntegration:
         with pytest.raises(RuntimeError, match="no training graphs"):
             tr.fit([])
 
+    def test_mesh_fit_matches_single_device(self, prepared,
+                                            tmp_path_factory):
+        """Data-parallel fit() over a 4-device mesh reproduces the
+        single-device history (up to float reduction order)."""
+        from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+        from gcn_grabcut_tpu.parallel.mesh import make_mesh
+
+        def run(mesh, tag):
+            tr = Trainer("resgcn", dict(hidden_channels=32, n_layers=2),
+                         TrainConfig(n_epochs=2, batch_size=4, bf16=False,
+                                     verbose=False, save_every=100, seed=3),
+                         save_dir=tmp_path_factory.mktemp(tag), mesh=mesh)
+            return tr.fit(prepared[:8], prepared[9:])
+
+        mesh = make_mesh(n_data=4, n_graph=1)
+        h_mesh = run(mesh, "dp")
+        h_solo = run(None, "solo")
+        np.testing.assert_allclose(h_mesh["train_loss"],
+                                   h_solo["train_loss"], rtol=2e-4)
+        np.testing.assert_allclose(h_mesh["val_score"],
+                                   h_solo["val_score"], rtol=2e-3, atol=2e-4)
+
+    def test_mesh_fit_rounds_batch_to_axis(self, prepared,
+                                           tmp_path_factory):
+        """A batch size not divisible by the data axis is rounded and the
+        wrapped remainder carries zero weight — training still works."""
+        from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+        from gcn_grabcut_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_data=4, n_graph=1)
+        tr = Trainer("resgcn", dict(hidden_channels=32, n_layers=2),
+                     TrainConfig(n_epochs=1, batch_size=6, bf16=False,
+                                 verbose=False, save_every=100),
+                     save_dir=tmp_path_factory.mktemp("dp_rnd"), mesh=mesh)
+        assert tr._batch_size(9) == 4
+        hist = tr.fit(prepared[:9], prepared[9:])
+        assert np.isfinite(hist["train_loss"]).all()
+
     def test_bf16_training_is_finite(self, prepared, tmp_path_factory):
         from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
         tr = Trainer("resgcn", dict(hidden_channels=32, n_layers=2),
