@@ -1,36 +1,51 @@
-"""Banded segment-CSR SpMM as a Pallas TPU kernel — the message-passing
-primitive for graphs too large for the dense-adjacency path.
+"""Banded-dense SpMM — the message-passing primitive for graphs too large
+for the full dense-adjacency path.
 
 Motivation (SURVEY §2.9, BASELINE.json): the reference's aggregation is
-torch scatter kernels; the dense (N, N) adjacency matmul used by the model
-zoo is MXU-optimal up to N ≈ 1-2k but its N^2 memory kills it at the
-10k+-superpixel scale.  TPUs have no efficient general gather inside
-kernels, so this kernel exploits the *bandedness* of superpixel adjacency:
-after spatially sorting nodes (SLIC grid order gives this for free), almost
-every edge connects nodes within a fixed index window.
+torch scatter kernels (/root/reference/src/gcn_grabcut/model.py:69-108);
+the dense (N, N) adjacency matmul used by the model zoo is MXU-optimal up
+to N ≈ 1-2k but its N² memory kills it at the 10k+-superpixel scale.
 
-Formulation — everything is an MXU matmul, no gathers:
+Design — everything is an MXU matmul, no gathers and no scatters:
 
-  For each row block b of R rows, edges are grouped by destination block
-  and padded to a static per-block budget E_b.  With a source window of W
-  rows starting at w_b (scalar-prefetched):
+  SLIC numbers superpixels in grid scan order, so spatial adjacency is
+  *index-banded*: almost every edge (src → dst) has |src - dst| within a
+  fixed window.  The graph is static across SpMM calls (a GCN reuses the
+  same adjacency every layer, every iteration), so the sparse structure is
+  compiled ONCE on the host into banded-dense block storage.  With row
+  blocks of R rows and K source sub-blocks at regular offsets
+  o_k = k - K//2 (window W = K·R):
 
-    onehot_src[e, w] = (src[e] - w_b == w)          (VPU compare vs iota)
-    msgs   = (onehot_src * weight[e]) @ x[w_b : w_b + W]    (E_b×W)·(W×D)
-    onehot_dst[r, e] = (dst[e] - b*R == r)
-    out[b*R : (b+1)*R] = onehot_dst @ msgs                  (R×E_b)·(E_b×D)
+    band[k, i, s] = Σ weight  over edges
+                    (src = (i//R + o_k)·R + s  →  dst = i)
 
-Out-of-window edges (the few non-local colour edges) are handled by a jnp
-segment-sum fallback outside the kernel and added in.
+  and the product is a batched dense contraction over K shifted views of x:
 
-`spmm_plan` does the one-off host-side preprocessing; `banded_spmm`
-executes the kernel.  `spmm_reference` is the jnp oracle both are tested
-against.
+    out.reshape(nb, R, D) = Σ_k band[k].reshape(nb, R, R)
+                                @ shift_k(x).reshape(nb, R, R→D)
 
-Measured on 1x TPU v5e (N=10k, D=128, E=82k, window 512): 736us/op
-(~111M edges/s, 1.7x XLA scatter-add) at default MXU precision
-(bf16-pass numerics, max rel err ~4e-3 — matches the bf16 training
-dtype); 1440us at precision="highest" (exact fp32, err ~3e-5).
+  where shift_k(x) is a *static* slice of the zero-padded x — XLA sees
+  only dense batched matmuls plus cheap slices, every FLOP lands on the
+  MXU, and storage is N·W values, independent of edge count.  No scatter
+  appears anywhere: on this backend XLA scatter kernels also carry
+  pathological compile times (minutes), which this formulation avoids.
+
+Out-of-window edges (non-local colour-space edges) are handled by a
+dst-sorted segment-sum fallback outside the kernel and added in.
+
+`spmm_plan` does the one-off host-side compilation; `banded_spmm` executes
+it (`backend="xla"` shifted-view einsum, the default, or
+`backend="pallas"` — the same schedule as an explicit Pallas kernel with
+regular block specs).  `spmm_reference` is the jnp scatter oracle both are
+tested against.
+
+Measured on 1x TPU v5e (N=10k, D=128, E=81k lattice + 2k non-local,
+slope-timed to cancel this backend's ~450us per-dispatch-quantum noise —
+see tools/bench_spmm.py): band-only 8.6us (9.2B edges/s) on the XLA
+schedule, 24us on the Pallas variant; +27us for the 1.9k-edge fallback
+segment-sum.  The round-1 in-kernel one-hot schedule measured 736us: the
+one-hots were being rebuilt on the VPU every call for a product that is a
+compile-time constant of the graph.
 """
 
 from __future__ import annotations
@@ -47,22 +62,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 @dataclasses.dataclass
 class SpmmPlan:
-    """Host-side edge plan for the banded kernel (static shapes)."""
+    """Host-compiled banded-dense adjacency (static shapes)."""
     n_nodes: int             # padded to a multiple of block_rows
     block_rows: int          # R
-    window: int              # W (multiple of 8)
-    edges_per_block: int     # E_b
-    src: np.ndarray          # (n_blocks, E_b) int32, window-relative
-    dst: np.ndarray          # (n_blocks, E_b) int32, block-relative
-    weight: np.ndarray       # (n_blocks, E_b) float32 (0 for padding)
-    win_start: np.ndarray    # (n_blocks,) int32 window start row
+    k_blocks: int            # K source sub-blocks (window W = K·R)
+    band: np.ndarray         # (K, n_nodes, R) float32 banded-dense weights
     fb_src: np.ndarray       # (n_fallback,) int32 out-of-window edges
     fb_dst: np.ndarray       # (n_fallback,)
     fb_weight: np.ndarray    # (n_fallback,)
 
     @property
     def n_blocks(self) -> int:
-        return self.src.shape[0]
+        return self.n_nodes // self.block_rows
+
+    @property
+    def window(self) -> int:
+        return self.k_blocks * self.block_rows
 
 
 def _round_up(x: int, m: int) -> int:
@@ -70,13 +85,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def spmm_plan(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
-              n_nodes: int, block_rows: int = 128, window: int = 512,
-              edges_per_block: int | None = None) -> SpmmPlan:
-    """Group (src → dst, weight) edges by destination row block.
+              n_nodes: int, block_rows: int = 128,
+              window: int = 640) -> SpmmPlan:
+    """Compile (src → dst, weight) edges into banded-dense block storage.
 
-    The window for block b is centred on the block: rows
-    [b*R + R/2 - W/2, …), clamped to [0, N).  Edges whose source falls
-    outside the window go to the fallback list.
+    `window` is rounded up to a multiple of `block_rows` (K = W / R source
+    sub-blocks, centred on the destination block).  Edges outside the
+    window go to the fallback list.  Duplicate edges accumulate, matching
+    scatter-add semantics.
     """
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -85,195 +101,153 @@ def spmm_plan(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     src, dst, weight = src[keep], dst[keep], weight[keep]
 
     n_pad = _round_up(max(n_nodes, block_rows), block_rows)
-    n_blocks = n_pad // block_rows
-    window = min(_round_up(window, 8), n_pad)
+    k_blocks = max(1, -(-window // block_rows))
 
-    win_start = np.zeros(n_blocks, np.int32)
-    for b in range(n_blocks):
-        centre = b * block_rows + block_rows // 2
-        start = centre - window // 2
-        start = (start // 8) * 8          # sublane-aligned dynamic slice
-        win_start[b] = int(np.clip(start, 0, n_pad - window))
-
-    owner = dst // block_rows
-    in_window = ((src >= win_start[owner])
-                 & (src < win_start[owner] + window))
+    # Offset of source sub-block k relative to the destination block.
+    off0 = -(k_blocks // 2)
+    blk = dst // block_rows
+    k = src // block_rows - blk - off0
+    in_window = (k >= 0) & (k < k_blocks)
 
     banded = np.nonzero(in_window)[0]
     fallback = np.nonzero(~in_window)[0]
+    # Sorted by destination: the fallback runs as a sorted segment-sum,
+    # which both executes and *compiles* fast on this backend (unsorted
+    # XLA scatter compiles are an order of magnitude slower).
+    fallback = fallback[np.argsort(dst[fallback], kind="stable")]
 
-    counts = np.bincount(owner[banded], minlength=n_blocks)
-    if edges_per_block is None:
-        # Static budget: the max per-block load, rounded to the VMEM lane
-        # width (the kernel reshapes edges to (Eb/128, 128) tiles).
-        edges_per_block = max(128, _round_up(int(counts.max() or 1), 128))
+    band = np.zeros((k_blocks, n_pad, block_rows), np.float32)
+    np.add.at(band, (k[banded], dst[banded], src[banded] % block_rows),
+              weight[banded])
 
-    bs = np.zeros((n_blocks, edges_per_block), np.int32)
-    bd = np.zeros((n_blocks, edges_per_block), np.int32)
-    bw = np.zeros((n_blocks, edges_per_block), np.float32)
-    fill = np.zeros(n_blocks, np.int64)
-    extra_fb = []
-    for e in banded:
-        b = owner[e]
-        i = fill[b]
-        if i >= edges_per_block:
-            extra_fb.append(e)
-            continue
-        bs[b, i] = src[e] - win_start[b]
-        bd[b, i] = dst[e] - b * block_rows
-        bw[b, i] = weight[e]
-        fill[b] = i + 1
-    # Padding slots: point outside the window so the one-hot is all-zero.
-    for b in range(n_blocks):
-        bs[b, fill[b]:] = window       # out-of-range ⇒ zero one-hot row
-        bd[b, fill[b]:] = block_rows
-
-    fallback = np.concatenate([fallback, np.asarray(extra_fb, np.int64)])
     return SpmmPlan(
-        n_nodes=n_pad, block_rows=block_rows, window=window,
-        edges_per_block=edges_per_block,
-        src=bs, dst=bd, weight=bw, win_start=win_start,
+        n_nodes=n_pad, block_rows=block_rows, k_blocks=k_blocks, band=band,
         fb_src=src[fallback].astype(np.int32),
         fb_dst=dst[fallback].astype(np.int32),
         fb_weight=weight[fallback].astype(np.float32),
     )
 
 
-def _make_spmm_kernel(window: int, precision: str = "default"):
-    def kernel(win_ref, src_ref, dst_ref, w_ref, x_ref, o_ref):
-        """One row block: two batched one-hot matmuls on the MXU.
+def _shifted_views(x: jnp.ndarray, R: int, K: int) -> jnp.ndarray:
+    """(K, nb, R, D) stack of block-shifted views of x ((N, D), N = nb·R)."""
+    n, d = x.shape
+    off0 = K // 2
+    xp = jnp.pad(x, ((off0 * R, (K - 1 - off0) * R), (0, 0)))
+    return jnp.stack([
+        jax.lax.slice_in_dim(xp, k * R, k * R + n).reshape(n // R, R, d)
+        for k in range(K)])
 
-        x lives fully in VMEM (node counts up to ~16k at D=128 fit); the
-        source window is an aligned dynamic slice, so no gather is ever
-        issued — both the gather and the scatter are one-hot matmuls.
-        Edge vectors arrive tiled as (Eb/128, 128) so the budget only pays
-        128-alignment (not the 1024 1-D tiling), and the one-hot operands
-        run in bf16 (exact: one-hots are 0/1, weights are applied to the
-        fp32 accumulator afterwards via the per-row scale trick below).
-        """
-        b = pl.program_id(0)
-        _, B2, L = src_ref.shape         # (1, Eb/128, 128)
-        R = o_ref.shape[0]
 
+@functools.partial(jax.jit, static_argnames=("block_rows", "k_blocks",
+                                             "precision"))
+def _banded_spmm_xla(x, band, block_rows, k_blocks, precision="default"):
+    """Shifted-view batched contraction — dense XLA ops only."""
+    n, d = x.shape
+    prec = (jax.lax.Precision.HIGHEST if precision == "highest"
+            else jax.lax.Precision.DEFAULT)
+    dt = jnp.float32 if precision == "highest" else jnp.bfloat16
+    xs = _shifted_views(x.astype(dt), block_rows, k_blocks)   # (K,nb,R,D)
+    a = band.astype(dt).reshape(k_blocks, n // block_rows,
+                                block_rows, block_rows)        # (K,nb,R,R)
+    out = jnp.einsum("kbrs,kbsd->brd", a, xs,
+                     precision=prec,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n, d)
+
+
+def _make_pallas_kernel(k_blocks: int, precision: str):
+    def kernel(a_ref, *rest):
+        x_refs, o_ref = rest[:-1], rest[-1]
         prec = (jax.lax.Precision.HIGHEST if precision == "highest"
                 else jax.lax.Precision.DEFAULT)
-        odt = jnp.float32 if precision == "highest" else jnp.bfloat16
-
-        start = win_ref[b]
-        xw = x_ref[pl.ds(start, window), :].astype(odt)    # (W, D)
-
-        src = src_ref[0]                                   # (B2, 128)
-        dst = dst_ref[0]
-        wgt = w_ref[0]
-
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (B2, L, window), 2)
-        onehot_src = (src[..., None] == iota_w).astype(odt)
-        # Weighted gather: scale the one-hot rows (exact in bf16 only for
-        # 0/1 — apply the fp32 weights to the gathered rows instead).
-        msgs = jax.lax.dot_general(
-            onehot_src, xw,
-            dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec)                                # (B2, L, D)
-        msgs = msgs * wgt[..., None]
-
-        iota_r = jax.lax.broadcasted_iota(jnp.int32, (B2, L, R), 2)
-        onehot_dst = (dst[..., None] == iota_r).astype(odt)
-        out = jax.lax.dot_general(
-            onehot_dst, msgs.astype(odt),
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=prec)                                # (B2, R, D)
-        o_ref[:] = jnp.sum(out, axis=0)
+        acc = jax.lax.dot_general(
+            a_ref[0, 0], x_refs[0][:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        for k in range(1, k_blocks):
+            acc = acc + jax.lax.dot_general(
+                a_ref[k, 0], x_refs[k][:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+        o_ref[:] = acc
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_nodes", "block_rows",
-                                             "window", "edges_per_block",
+@functools.partial(jax.jit, static_argnames=("block_rows", "k_blocks",
                                              "precision"))
-def _banded_spmm_call(x, src, dst, weight, win_start, n_nodes, block_rows,
-                      window, edges_per_block, precision="default"):
-    n_blocks = n_nodes // block_rows
-    D = x.shape[1]
+def _banded_spmm_pallas(x, band, block_rows, k_blocks, precision="default"):
+    """The same schedule as an explicit Pallas kernel: one grid step per
+    destination block, K regular-offset x blocks, all statically mapped
+    (full double-buffered pipelining, no dynamic slices)."""
+    n, d = x.shape
+    R = block_rows
+    nb = n // R
+    dt = jnp.float32 if precision == "highest" else jnp.bfloat16
+    off0 = k_blocks // 2
+    xp = jnp.pad(x.astype(dt), ((off0 * R, (k_blocks - 1 - off0) * R),
+                                (0, 0)))
+    a = band.astype(dt)
 
-    tiles = edges_per_block // 128
-    src = src.reshape(n_blocks, tiles, 128)
-    dst = dst.reshape(n_blocks, tiles, 128)
-    weight = weight.reshape(n_blocks, tiles, 128)
+    def x_spec(k):
+        return pl.BlockSpec((R, d), lambda b, k=k: (b + k, 0),
+                            memory_space=pltpu.VMEM)
 
-    edge_spec = pl.BlockSpec((1, tiles, 128), lambda b, ws: (b, 0, 0),
-                             memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,                 # win_start, element rows
-        grid=(n_blocks,),
-        in_specs=[
-            edge_spec, edge_spec, edge_spec,
-            pl.BlockSpec(memory_space=pltpu.VMEM),       # full x
-        ],
-        out_specs=pl.BlockSpec((block_rows, D), lambda b, ws: (b, 0),
-                               memory_space=pltpu.VMEM),
-    )
     return pl.pallas_call(
-        _make_spmm_kernel(window, precision),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_nodes, D), jnp.float32),
+        _make_pallas_kernel(k_blocks, precision),
+        grid=(nb,),
+        in_specs=[pl.BlockSpec((k_blocks, 1, R, R), lambda b: (0, b, 0, 0),
+                               memory_space=pltpu.VMEM)]
+                 + [x_spec(k) for k in range(k_blocks)],
+        out_specs=pl.BlockSpec((R, d), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_blocks * edges_per_block * D * (window + block_rows),
-            bytes_accessed=4 * (n_nodes * D * 2
-                                + 3 * n_blocks * edges_per_block),
+            flops=2 * n * k_blocks * R * d,
+            bytes_accessed=(n * k_blocks * R + n * d) * 2 + n * d * 4,
             transcendentals=0,
         ),
-    )(win_start, src, dst, weight, x)
+    )(a.reshape(k_blocks, nb, R, R), *([xp] * k_blocks))
+
+
+def _fallback_segsum(x, fb_src, fb_dst, fb_weight, n):
+    """Out-of-window edges: row gather + dst-sorted segment-sum.  The plan
+    sorts fallback edges by destination, so `indices_are_sorted` lets XLA
+    lower this without the pathological unsorted-scatter compile path.
+    Fallback counts are small (non-local colour edges only)."""
+    msgs = x[jnp.asarray(fb_src)] * jnp.asarray(fb_weight)[:, None]
+    return jax.ops.segment_sum(msgs, jnp.asarray(fb_dst), num_segments=n,
+                               indices_are_sorted=True)
 
 
 def banded_spmm(x: jnp.ndarray, plan: SpmmPlan, interpret: bool = False,
-                precision: str = "default") -> jnp.ndarray:
+                precision: str = "default",
+                backend: str = "xla") -> jnp.ndarray:
     """out[dst] += weight * x[src] over the plan's edges.  x: (N, D) with
-    N <= plan.n_nodes (padded internally); returns (N, D)."""
+    N <= plan.n_nodes (padded internally); returns (N, D).
+
+    `backend="xla"` (default) runs the shifted-view contraction as plain
+    XLA; `backend="pallas"` uses the explicit Pallas kernel (TPU only).
+    `interpret=True` is the reference/CPU oracle: it forces the XLA path
+    in exact fp32 regardless of `precision`."""
     n = x.shape[0]
     if n < plan.n_nodes:
         x = jnp.pad(x, ((0, plan.n_nodes - n), (0, 0)))
-
     if interpret:
-        out = _banded_spmm_interpret(x, plan)
+        precision = "highest"
+
+    band = jnp.asarray(plan.band)
+    if backend == "pallas" and not interpret:
+        out = _banded_spmm_pallas(x.astype(jnp.float32), band,
+                                  plan.block_rows, plan.k_blocks, precision)
     else:
-        # Window starts are in *block units of the x BlockSpec*, whose block
-        # height is `window`; arbitrary element offsets need unit-height
-        # handling, so starts are pre-divided (they are multiples of 8 but
-        # the BlockSpec uses element-exact indexing via index units of the
-        # block shape — enforce window-multiple starts in the plan instead).
-        out = _banded_spmm_call(
-            x.astype(jnp.float32), jnp.asarray(plan.src).reshape(-1),
-            jnp.asarray(plan.dst).reshape(-1),
-            jnp.asarray(plan.weight).reshape(-1),
-            jnp.asarray(plan.win_start), plan.n_nodes, plan.block_rows,
-            plan.window, plan.edges_per_block, precision)
+        out = _banded_spmm_xla(x.astype(jnp.float32), band,
+                               plan.block_rows, plan.k_blocks, precision)
 
-    # Fallback (out-of-window) edges via XLA scatter-add.
     if len(plan.fb_src):
-        msgs = x[jnp.asarray(plan.fb_src)] * jnp.asarray(
-            plan.fb_weight)[:, None]
-        out = out.at[jnp.asarray(plan.fb_dst)].add(msgs)
+        out = out + _fallback_segsum(x.astype(out.dtype), plan.fb_src,
+                                     plan.fb_dst, plan.fb_weight,
+                                     plan.n_nodes)
     return out[:n]
-
-
-def _banded_spmm_interpret(x, plan):
-    """Pure-jnp execution of the same blocked algorithm (test oracle for
-    the kernel's data layout, and the CPU path)."""
-    outs = []
-    R, W, Eb = plan.block_rows, plan.window, plan.edges_per_block
-    for b in range(plan.n_blocks):
-        xw = jax.lax.dynamic_slice_in_dim(x, int(plan.win_start[b]), W)
-        src = jnp.asarray(plan.src[b])
-        dst = jnp.asarray(plan.dst[b])
-        wgt = jnp.asarray(plan.weight[b])
-        onehot_src = (src[:, None] == jnp.arange(W)[None, :]).astype(
-            jnp.float32) * wgt[:, None]
-        msgs = onehot_src @ xw
-        onehot_dst = (dst[None, :] == jnp.arange(R)[:, None]).astype(
-            jnp.float32)
-        outs.append(onehot_dst @ msgs)
-    return jnp.concatenate(outs, axis=0)
 
 
 def spmm_reference(x: jnp.ndarray, src, dst, weight, n: int) -> jnp.ndarray:

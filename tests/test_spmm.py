@@ -1,8 +1,9 @@
-"""Banded Pallas SpMM: plan construction + blocked algorithm correctness.
+"""Banded-dense SpMM: plan compilation + blocked algorithm correctness.
 
-The Mosaic kernel itself only lowers on real TPU hardware (covered by the
-TPU-side bench); these tests validate the exact same blocked data layout
-through the jnp interpret path against the scatter oracle.
+The XLA shifted-view path runs on any backend (it doubles as the interpret
+oracle); the Pallas variant only lowers on real TPU hardware (covered by
+tools/bench_spmm.py).  These tests validate the banded-dense plan
+compilation against the scatter oracle.
 """
 
 import numpy as np
@@ -25,30 +26,43 @@ def _random_banded(n, e_local, e_far, seed=0, band=200):
 
 
 class TestSpmmPlan:
-    def test_every_edge_is_planned_once(self):
+    def test_weight_is_conserved(self):
         n = 640
         src, dst, w = _random_banded(n, 3000, 150)
         plan = spmm_plan(src, dst, w, n, block_rows=128, window=256)
-        n_banded = int((plan.weight != 0).sum())
-        assert n_banded + len(plan.fb_src) == len(src)
-        # Total weight is conserved.
         np.testing.assert_allclose(
-            plan.weight.sum() + plan.fb_weight.sum(), w.sum(), rtol=1e-5)
+            plan.band.sum() + plan.fb_weight.sum(), w.sum(), rtol=1e-5)
 
-    def test_padding_slots_are_inert(self):
-        n = 256
+    def test_band_shape_and_window(self):
+        n = 600
         src, dst, w = _random_banded(n, 500, 0)
-        plan = spmm_plan(src, dst, w, n, block_rows=128, window=256)
-        pad = plan.weight == 0
-        assert (plan.src[pad] == plan.window).all()
-        assert (plan.dst[pad] == plan.block_rows).all()
+        plan = spmm_plan(src, dst, w, n, block_rows=128, window=300)
+        # window rounds up to a whole number of R-blocks; N pads to R.
+        assert plan.window == 384 and plan.k_blocks == 3
+        assert plan.n_nodes == 640
+        assert plan.band.shape == (3, 640, 128)
+
+    def test_fallback_sorted_by_dst(self):
+        n = 1024
+        src, dst, w = _random_banded(n, 500, 400, band=900)
+        plan = spmm_plan(src, dst, w, n, block_rows=128, window=128)
+        assert (np.diff(plan.fb_dst) >= 0).all()
 
     def test_zero_weight_edges_dropped(self):
         src = np.array([0, 1, 2])
         dst = np.array([1, 2, 3])
         w = np.array([1.0, 0.0, 1.0], np.float32)
         plan = spmm_plan(src, dst, w, 128, block_rows=128, window=128)
-        assert (plan.weight != 0).sum() + len(plan.fb_src) == 2
+        assert plan.band.sum() + plan.fb_weight.sum() == 2.0
+
+    def test_duplicate_edges_accumulate(self):
+        src = np.array([3, 3, 3])
+        dst = np.array([7, 7, 7])
+        w = np.array([1.0, 2.0, 4.0], np.float32)
+        plan = spmm_plan(src, dst, w, 128)
+        x = jnp.zeros((128, 8)).at[3].set(1.0)
+        out = banded_spmm(x, plan, interpret=True)
+        np.testing.assert_allclose(np.asarray(out[7]), np.full(8, 7.0))
 
 
 class TestBandedSpmm:
@@ -64,6 +78,28 @@ class TestBandedSpmm:
         out = banded_spmm(x, plan, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-3, rtol=1e-3)
+
+    def test_bf16_default_path_tolerance(self):
+        """The TPU-default bf16 contraction stays within training-dtype
+        error of the oracle (same XLA program the chip runs)."""
+        n = 512
+        src, dst, w = _random_banded(n, 3000, 100, seed=5)
+        plan = spmm_plan(src, dst, w, n)
+        x = jnp.asarray(np.random.RandomState(7).randn(n, 32), jnp.float32)
+        ref = spmm_reference(x, src, dst, w, n)
+        out = banded_spmm(x, plan, precision="default", backend="xla")
+        scale = float(jnp.max(jnp.abs(ref)))
+        assert float(jnp.max(jnp.abs(out - ref))) / scale < 2e-2
+
+    def test_highest_precision_is_exact(self):
+        n = 512
+        src, dst, w = _random_banded(n, 3000, 100, seed=2)
+        plan = spmm_plan(src, dst, w, n)
+        x = jnp.asarray(np.random.RandomState(3).randn(n, 32), jnp.float32)
+        ref = spmm_reference(x, src, dst, w, n)
+        out = banded_spmm(x, plan, interpret=True, precision="highest")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
 
     def test_empty_graph(self):
         plan = spmm_plan(np.zeros(0, int), np.zeros(0, int),
