@@ -37,18 +37,15 @@ OFFSETS_8 = ((0, -1), (-1, 0), (-1, -1), (-1, 1))
 
 
 def _shift_from(a: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
-    """out[p] = a[p + (dy, dx)], out-of-bounds filled."""
+    """out[p] = a[p + (dy, dx)], out-of-bounds filled.
+
+    Implemented as slice-of-padded rather than roll + border writes: pad
+    and slice fuse into consuming elementwise ops, where each roll/at-set
+    lowers to its own data-movement kernel (per-kernel launch overhead
+    dominates these 1 MB stencil sweeps)."""
     H, W = a.shape
-    out = jnp.roll(a, (-dy, -dx), axis=(0, 1))
-    if dy == -1:
-        out = out.at[0, :].set(fill)
-    elif dy == 1:
-        out = out.at[-1, :].set(fill)
-    if dx == -1:
-        out = out.at[:, 0].set(fill)
-    elif dx == 1:
-        out = out.at[:, -1].set(fill)
-    return out
+    ap = jnp.pad(a, 1, constant_values=fill)
+    return jax.lax.slice(ap, (1 + dy, 1 + dx), (1 + dy + H, 1 + dx + W))
 
 
 def _shift_to(a: jnp.ndarray, dy: int, dx: int, fill) -> jnp.ndarray:
@@ -68,7 +65,8 @@ def _zero_border(cap: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
 
 
 def _build_solver(H: int, W: int, offsets, max_outer: int,
-                  sweeps_per_round: int, relabel_iters: int):
+                  sweeps_per_round: int, relabel_iters: int,
+                  unroll: int = 4):
     """Build solve(e, r_fwd, r_bwd) → (fg, e', r_fwd', r_bwd').
 
     Accepting arbitrary starting residuals enables *flow recycling*
@@ -83,22 +81,36 @@ def _build_solver(H: int, W: int, offsets, max_outer: int,
         """Exact-ish BFS heights: distance to the nearest deficit node along
         residual arcs (iterative min-plus relaxation, bounded)."""
         h0 = jnp.where(e < 0, 0, INF)
+        # Residuals are constant throughout the BFS: precompute the arc
+        # usability masks once, outside the while loop.
+        fwd_ok = tuple(r_fwd[d] > 0 for d in range(len(offsets)))
+        bwd_ok = tuple(
+            _shift_from(r_bwd[d], -dy, -dx, 0.0) > 0
+            for d, (dy, dx) in enumerate(offsets))
 
-        def body(state):
-            h, _, it = state
+        def relax_once(h):
             new_h = h
             for d, (dy, dx) in enumerate(offsets):
                 # arc p → p+off usable if r_fwd[d][p] > 0
                 nb = _shift_from(h, dy, dx, INF)
-                cand = jnp.where(r_fwd[d] > 0, nb + 1, INF)
-                new_h = jnp.minimum(new_h, cand)
+                new_h = jnp.minimum(new_h, jnp.where(fwd_ok[d], nb + 1, INF))
                 # arc p → p-off usable if r_bwd[d][p-off] > 0
                 nb2 = _shift_from(h, -dy, -dx, INF)
-                rb = _shift_from(r_bwd[d], -dy, -dx, 0.0)
-                cand2 = jnp.where(rb > 0, nb2 + 1, INF)
-                new_h = jnp.minimum(new_h, cand2)
+                new_h = jnp.minimum(new_h, jnp.where(bwd_ok[d], nb2 + 1,
+                                                     INF))
+            return new_h
+
+        def body(state):
+            h, _, it = state
+            # `unroll` relaxation steps per loop iteration: loop-iteration
+            # dispatch overhead dominates these sweeps on the tunneled TPU
+            # backend, so batching steps inside the body is ~free compute
+            # that cuts the iteration count by the unroll factor.
+            new_h = h
+            for _ in range(unroll):
+                new_h = relax_once(new_h)
             changed = jnp.any(new_h < h)
-            return new_h, changed, it + 1
+            return new_h, changed, it + unroll
 
         def cond(state):
             _, changed, it = state
@@ -155,9 +167,14 @@ def _build_solver(H: int, W: int, offsets, max_outer: int,
         h = global_relabel(e, r_fwd, r_bwd)
 
         def inner(_, carry):
-            return push_sweep(carry)
+            # Same dispatch-amortisation as the relabel: several push
+            # sweeps per loop iteration.
+            for _ in range(unroll):
+                carry = push_sweep(carry)
+            return carry
         e, h, r_fwd, r_bwd = jax.lax.fori_loop(
-            0, sweeps_per_round, inner, (e, h, r_fwd, r_bwd))
+            0, max(1, sweeps_per_round // unroll), inner,
+            (e, h, r_fwd, r_bwd))
         return e, h, r_fwd, r_bwd, it + 1
 
     def outer_cond(state):
@@ -197,11 +214,13 @@ def _resolve_params(H, W, connectivity, relabel_iters):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "connectivity", "max_outer", "sweeps_per_round", "relabel_iters"))
+    "connectivity", "max_outer", "sweeps_per_round", "relabel_iters",
+    "unroll"))
 def grid_mincut(excess: jnp.ndarray, caps: tuple,
                 connectivity: int = 8, max_outer: int = 400,
-                sweeps_per_round: int = 12,
-                relabel_iters: int | None = None) -> jnp.ndarray:
+                sweeps_per_round: int = 48,
+                relabel_iters: int | None = None,
+                unroll: int = 4) -> jnp.ndarray:
     """Solve the s-t min-cut on an (H, W) lattice.
 
     Parameters
@@ -220,7 +239,7 @@ def grid_mincut(excess: jnp.ndarray, caps: tuple,
                                              relabel_iters)
     assert len(caps) == len(offsets)
     solve = _build_solver(H, W, offsets, max_outer, sweeps_per_round,
-                          relabel_iters)
+                          relabel_iters, unroll)
     r_fwd, r_bwd = _fresh_residuals(caps, offsets)
     fg, _, _, _ = solve(excess, r_fwd, r_bwd)
     return fg
@@ -228,8 +247,9 @@ def grid_mincut(excess: jnp.ndarray, caps: tuple,
 
 def grid_mincut_stateful(excess: jnp.ndarray, r_fwd: tuple, r_bwd: tuple,
                          connectivity: int = 8, max_outer: int = 400,
-                         sweeps_per_round: int = 12,
-                         relabel_iters: int | None = None):
+                         sweeps_per_round: int = 48,
+                         relabel_iters: int | None = None,
+                         unroll: int = 4):
     """Warm-start variant: resume from carried residuals (flow recycling).
 
     `excess` must already be the carried excess (previous post-solve excess
@@ -240,5 +260,5 @@ def grid_mincut_stateful(excess: jnp.ndarray, r_fwd: tuple, r_bwd: tuple,
     offsets, relabel_iters = _resolve_params(H, W, connectivity,
                                              relabel_iters)
     solve = _build_solver(H, W, offsets, max_outer, sweeps_per_round,
-                          relabel_iters)
+                          relabel_iters, unroll)
     return solve(excess, tuple(r_fwd), tuple(r_bwd))
