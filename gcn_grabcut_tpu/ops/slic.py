@@ -70,55 +70,96 @@ def slic(lab: jnp.ndarray, n_segments: int = 300, compactness: float = 10.0,
     seed_lab = lab[seed_y, seed_x]                                  # (gh,gw,3)
     centers = jnp.concatenate([seed_lab, cyx], axis=-1)             # (gh,gw,5)
 
-    # Home cell per pixel (static mapping).
-    base_cy = jnp.clip((yy / sy).astype(jnp.int32), 0, gh - 1)
-    base_cx = jnp.clip((xx / sx).astype(jnp.int32), 0, gw - 1)
+    # Home cell per pixel — a *static* block partition: every pixel of row
+    # band i maps to cell row i, so the pixel↔cell exchange in both
+    # directions is a pair of tiny one-hot matmuls per axis instead of
+    # per-pixel gathers/scatters (TPU has no fast gather; this keeps the
+    # whole k-means loop on the MXU/VPU).
+    base_cy = jnp.clip((yy[:, 0] / sy).astype(jnp.int32), 0, gh - 1)  # (H,)
+    base_cx = jnp.clip((xx[0, :] / sx).astype(jnp.int32), 0, gw - 1)  # (W,)
+    oh_y = (base_cy[:, None] == jnp.arange(gh)[None, :]).astype(
+        jnp.float32)                                                # (H, gh)
+    oh_x = (base_cx[:, None] == jnp.arange(gw)[None, :]).astype(
+        jnp.float32)                                                # (W, gw)
+    hi = jax.lax.Precision.HIGHEST   # exact fp32 copies through the MXU
 
     inv_s2 = (compactness / s_avg) ** 2
     offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    BIG = jnp.float32(1e9)           # sentinel centre → infinite distance
+
+    def up_sample(grids):
+        """(gh, gw, C) cell values → (H, W, C) per-pixel values."""
+        C = grids.shape[-1]
+        t = jnp.einsum("hg,gwc->hwc", oh_y,
+                       grids, precision=hi)                 # (H, gw, C)
+        return jnp.einsum("Ww,hwc->hWc", oh_x, t,
+                          precision=hi)                     # (H, W, C)
+
+    def down_sum(field):
+        """(H, W, C) per-pixel values → (gh, gw, C) per-home-cell sums."""
+        t = jnp.einsum("hg,hwc->gwc", oh_y, field, precision=hi)
+        return jnp.einsum("wW,gwc->gWc", oh_x, t, precision=hi)
+
+    def shifted_centers(centers):
+        """(gh, gw, 9, 5): candidate centre for each cell and offset,
+        out-of-grid candidates replaced by the BIG sentinel."""
+        cs = []
+        for dy, dx in offsets:
+            cp = jnp.pad(centers, ((1, 1), (1, 1), (0, 0)),
+                         constant_values=BIG)
+            cs.append(jax.lax.slice(
+                cp, (1 + dy, 1 + dx, 0), (1 + dy + gh, 1 + dx + gw, 5)))
+        return jnp.stack(cs, axis=2)                        # (gh, gw, 9, 5)
 
     def assign(centers):
-        """Label each pixel with the best of its 9 candidate clusters."""
-        best_d = jnp.full((H, W), jnp.inf, jnp.float32)
-        best_l = jnp.zeros((H, W), jnp.int32)
-        for dy, dx in offsets:
-            ccy = base_cy + dy
-            ccx = base_cx + dx
-            valid = ((ccy >= 0) & (ccy < gh) & (ccx >= 0) & (ccx < gw))
-            ccy = jnp.clip(ccy, 0, gh - 1)
-            ccx = jnp.clip(ccx, 0, gw - 1)
-            c = centers[ccy, ccx]                          # (H, W, 5)
-            d_lab = jnp.sum((lab - c[..., :3]) ** 2, axis=-1)
-            d_xy = (yy - c[..., 3]) ** 2 + (xx - c[..., 4]) ** 2
-            d = d_lab + d_xy * inv_s2
-            d = jnp.where(valid, d, jnp.inf)
-            lbl = ccy * gw + ccx
-            take = d < best_d
-            best_d = jnp.where(take, d, best_d)
-            best_l = jnp.where(take, lbl, best_l)
-        return best_l
+        """Label each pixel with the best of its 9 candidate clusters.
+        Returns (labels, choice) where choice ∈ [0, 9) is the offset index."""
+        cand = shifted_centers(centers).reshape(gh, gw, 45)
+        c = up_sample(cand).reshape(H, W, 9, 5)             # (H, W, 9, 5)
+        d_lab = jnp.sum((lab[:, :, None, :] - c[..., :3]) ** 2, axis=-1)
+        d_xy = ((yy[..., None] - c[..., 3]) ** 2
+                + (xx[..., None] - c[..., 4]) ** 2)
+        d = d_lab + d_xy * inv_s2                           # (H, W, 9)
+        choice = jnp.argmin(d, axis=-1).astype(jnp.int32)
+        # label = (home_y + dy(choice)) * gw + home_x + dx(choice)
+        dys = jnp.asarray([o[0] for o in offsets], jnp.int32)[choice]
+        dxs = jnp.asarray([o[1] for o in offsets], jnp.int32)[choice]
+        lbl = ((base_cy[:, None] + dys) * gw + (base_cx[None, :] + dxs))
+        return lbl, choice
 
-    def update(labels):
-        """Recompute cluster means in LABXY space (masked for empties)."""
-        flat = labels.reshape(-1)
+    def update(choice):
+        """Recompute cluster means in LABXY space (masked for empties).
+
+        Per-label sums via the block structure: pixels choosing offset o
+        contribute to cell home+o, so sum per home cell under each offset
+        mask (one matmul pair for all 9 masks at once), then shift-add the
+        partial grids."""
         feats = jnp.concatenate(
-            [lab, yy[..., None], xx[..., None]], axis=-1).reshape(-1, 5)
-        sums = jax.ops.segment_sum(feats, flat, num_segments=K)
-        cnts = jax.ops.segment_sum(jnp.ones_like(flat, jnp.float32), flat,
-                                   num_segments=K)
-        means = sums / jnp.maximum(cnts, 1.0)[:, None]
-        # Empty clusters keep their previous (seed-grid) position so they can
-        # re-acquire pixels in later iterations.
-        return means.reshape(gh, gw, 5), cnts
+            [lab, yy[..., None], xx[..., None],
+             jnp.ones((H, W, 1), jnp.float32)], axis=-1)    # (H, W, 6)
+        sel = (choice[..., None] == jnp.arange(9)[None, None, :])
+        masked = (feats[:, :, None, :]
+                  * sel[..., None].astype(jnp.float32))     # (H, W, 9, 6)
+        part = down_sum(masked.reshape(H, W, 54)).reshape(gh, gw, 9, 6)
+        total = jnp.zeros((gh, gw, 6), jnp.float32)
+        for o, (dy, dx) in enumerate(offsets):
+            # home cell h contributed to cell h + (dy, dx): shift the
+            # partial grid forward and accumulate.
+            pp = jnp.pad(part[:, :, o, :], ((1, 1), (1, 1), (0, 0)))
+            total = total + jax.lax.slice(
+                pp, (1 - dy, 1 - dx, 0), (1 - dy + gh, 1 - dx + gw, 6))
+        cnts = total[..., 5]
+        means = total[..., :5] / jnp.maximum(cnts, 1.0)[..., None]
+        return means, cnts
 
     def body(i, centers):
-        labels = assign(centers)
-        means, cnts = update(labels)
-        keep = (cnts.reshape(gh, gw) > 0)[..., None]
+        _, choice = assign(centers)
+        means, cnts = update(choice)
+        keep = (cnts > 0)[..., None]
         return jnp.where(keep, means, centers)
 
     centers = jax.lax.fori_loop(0, n_iter, body, centers)
-    labels = assign(centers)
+    labels, _ = assign(centers)
     labels = _absorb_orphans(labels, n_sweeps=4)
     labels = enforce_connectivity(labels, K)
     return labels
