@@ -211,16 +211,69 @@ def _grabcut_solve_batch(pix, masks, comps, gamma, n_iter, n_components):
 BATCH_SOLVE_PIXEL_BUDGET = 33_554_432
 
 
+def preprocess_device(rgb: jnp.ndarray, color_space: str) -> jnp.ndarray:
+    """GrabCut colour-space preprocessing on device (…, H, W, 3) float32."""
+    cs = color_space.lower()
+    if cs == "hsv":
+        return im.rgb_to_hsv(rgb) * 255.0
+    if cs == "lab":
+        lab = im.rgb_to_lab(rgb)
+        # cv2 uint8-Lab scaling: L*255/100, a/b + 128.
+        return jnp.stack(
+            [lab[..., 0] * 255.0 / 100.0, lab[..., 1] + 128.0,
+             lab[..., 2] + 128.0], axis=-1)
+    return rgb
+
+
+def grabcut_batch_device(rgb: jnp.ndarray, trimaps: jnp.ndarray,
+                         config: Optional[GrabCutConfig] = None
+                         ) -> jnp.ndarray:
+    """Device-resident batched GrabCut core: (B, H, W, 3) float32 RGB +
+    (B, H, W) uint8 trimaps → (B, H, W) uint8 binary masks, no host pulls.
+
+    Degenerate trimaps are repaired branchlessly, matching the scalar
+    path's guards (reference grabcut.py:127-140): probable labels promote
+    to definite when a definite class is missing, and images whose trimap
+    stays one-sided keep their own labelling.
+    """
+    config = config or GrabCutConfig()
+    trimaps = trimaps.astype(jnp.uint8)
+
+    def repair(t):
+        has_fg = jnp.any(t == TRIMAP_FG)
+        t = jnp.where(~has_fg & (t == TRIMAP_PROB_FG),
+                      jnp.uint8(TRIMAP_FG), t)
+        has_bg = jnp.any(t == TRIMAP_BG)
+        t = jnp.where(~has_bg & (t == TRIMAP_PROB_BG),
+                      jnp.uint8(TRIMAP_BG), t)
+        degenerate = ~(jnp.any(t == TRIMAP_FG) & jnp.any(t == TRIMAP_BG))
+        return t, degenerate
+
+    trimaps, degenerate = jax.vmap(repair)(trimaps)
+
+    pix = preprocess_device(rgb, config.color_space)
+    k = config.n_components
+    fg_sel = (trimaps == TRIMAP_FG) | (trimaps == TRIMAP_PROB_FG)
+    fg_comp = jax.vmap(lambda p, s: gmm_ops.kmeans(p, s, k, seed=0))(
+        pix, fg_sel.astype(jnp.float32))
+    bg_comp = jax.vmap(lambda p, s: gmm_ops.kmeans(p, s, k, seed=1))(
+        pix, 1.0 - fg_sel.astype(jnp.float32))
+    comp0 = jnp.where(fg_sel, fg_comp, bg_comp)
+
+    masks, _ = _grabcut_solve_batch(
+        pix, trimaps, comp0, config.gamma, config.n_iter, k)
+    solved = ((masks == TRIMAP_FG)
+              | (masks == TRIMAP_PROB_FG)).astype(jnp.uint8)
+    own = fg_sel.astype(jnp.uint8)
+    return jnp.where(degenerate[:, None, None], own, solved)
+
+
 def run_batch_with_trimaps(images: np.ndarray, trimaps: np.ndarray,
                            config: Optional[GrabCutConfig] = None
                            ) -> np.ndarray:
     """Batched GrabCut: (B, H, W, 3) uint8 RGB + (B, H, W) trimaps →
     (B, H, W) uint8 binary masks, one fused device program (or per-image
-    fused solves beyond BATCH_SOLVE_PIXEL_BUDGET).
-
-    Degenerate trimaps are repaired per image exactly as in the scalar
-    path; images whose trimap stays one-sided keep their own labelling.
-    """
+    fused solves beyond BATCH_SOLVE_PIXEL_BUDGET)."""
     config = config or GrabCutConfig()
     B = images.shape[0]
     if B * images.shape[1] * images.shape[2] > BATCH_SOLVE_PIXEL_BUDGET:
@@ -229,37 +282,9 @@ def run_batch_with_trimaps(images: np.ndarray, trimaps: np.ndarray,
             gc = GrabCut(images[b], config)
             out[b] = gc.run_with_trimap(trimaps[b])
         return out
-    trimaps = trimaps.astype(np.uint8).copy()
-
-    degenerate = np.zeros(B, bool)
-    for b in range(B):
-        t = trimaps[b]
-        if not (t == TRIMAP_FG).any():
-            t[t == TRIMAP_PROB_FG] = TRIMAP_FG
-        if not (t == TRIMAP_BG).any():
-            t[t == TRIMAP_PROB_BG] = TRIMAP_BG
-        if not (t == TRIMAP_FG).any() or not (t == TRIMAP_BG).any():
-            degenerate[b] = True
-
-    pix = jnp.asarray(images, jnp.float32)
-    k = config.n_components
-    fg_sel = jnp.asarray((trimaps == TRIMAP_FG)
-                         | (trimaps == TRIMAP_PROB_FG))
-    fg_comp = jax.vmap(lambda p, s: gmm_ops.kmeans(p, s, k, seed=0))(
-        pix, fg_sel.astype(jnp.float32))
-    bg_comp = jax.vmap(lambda p, s: gmm_ops.kmeans(p, s, k, seed=1))(
-        pix, 1.0 - fg_sel.astype(jnp.float32))
-    comp0 = jnp.where(fg_sel, fg_comp, bg_comp)
-
-    masks, _ = _grabcut_solve_batch(
-        pix, jnp.asarray(trimaps), comp0, config.gamma, config.n_iter, k)
-    masks = np.asarray(masks)
-    out = np.where((masks == TRIMAP_FG) | (masks == TRIMAP_PROB_FG),
-                   1, 0).astype(np.uint8)
-    for b in np.nonzero(degenerate)[0]:
-        out[b] = np.isin(trimaps[b],
-                         (TRIMAP_FG, TRIMAP_PROB_FG)).astype(np.uint8)
-    return out
+    out = grabcut_batch_device(jnp.asarray(images, jnp.float32),
+                               jnp.asarray(trimaps), config)
+    return np.asarray(out)
 
 
 class GrabCut:

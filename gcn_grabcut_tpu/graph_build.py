@@ -171,6 +171,23 @@ def _build_graph_arrays(rgb: jnp.ndarray, n_segments: int, compactness: float,
     )
 
 
+def build_graph_batch_arrays(rgbs: jnp.ndarray,
+                             config: Optional[SuperpixelGraphConfig] = None
+                             ) -> dict:
+    """Device-resident batched build: (B, H, W, 3) float32 RGB → dict of
+    batched arrays (B leading axis), one fused vmapped program, no host
+    pulls.  The batched pipeline composes this with the model forward and
+    GrabCut without leaving the device."""
+    cfg = config or SuperpixelGraphConfig()
+
+    def one(rgb):
+        return _build_graph_arrays(
+            rgb, cfg.n_segments, cfg.compactness, cfg.sigma,
+            cfg.connectivity, cfg.n_nonlocal, cfg.slic_iters)
+
+    return jax.vmap(one)(rgbs)
+
+
 def build_graph(image: np.ndarray,
                 config: Optional[SuperpixelGraphConfig] = None
                 ) -> RegionGraph:

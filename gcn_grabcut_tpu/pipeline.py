@@ -143,6 +143,38 @@ def seed_from_prior(trimap: np.ndarray, graph: RegionGraph,
     return trimap
 
 
+def _batch_budget() -> int:
+    from .grabcut import BATCH_SOLVE_PIXEL_BUDGET
+    return BATCH_SOLVE_PIXEL_BUDGET
+
+
+def _seed_from_prior_device(trimaps, priors, node_masks, segments,
+                            seed_frac: float = 0.1):
+    """Device-side batched seed_from_prior: same repair as the host path
+    (promote the ~seed_frac highest-prior regions to the missing probable
+    side), branchless per image.  Ties at the rank-k score promote
+    together (scores are continuous, so this matches the host top-k in
+    practice)."""
+    def one(tri, prior, nm, seg):
+        has_fg = jnp.any((tri == TRIMAP_FG) | (tri == TRIMAP_PROB_FG))
+        has_bg = jnp.any((tri == TRIMAP_BG) | (tri == TRIMAP_PROB_BG))
+        n_valid = jnp.maximum(jnp.sum(nm), 1.0)
+        n_seed = jnp.maximum(
+            1, jnp.round(seed_frac * n_valid)).astype(jnp.int32)
+
+        def promoted(score, label):
+            s = jnp.where(nm > 0, score, -1.0)
+            kth = jnp.sort(s)[::-1][jnp.minimum(n_seed - 1, s.shape[0] - 1)]
+            px = (s >= kth)[seg]
+            return jnp.where(px, jnp.uint8(label), tri)
+
+        tri = jnp.where(has_fg, tri, promoted(prior[:, 0], TRIMAP_PROB_FG))
+        tri = jnp.where(has_bg, tri, promoted(prior[:, 1], TRIMAP_PROB_BG))
+        return tri.astype(jnp.uint8)
+
+    return jax.vmap(one)(trimaps, priors, node_masks, segments)
+
+
 class GCNGrabCutPipeline:
     """Full GCN-GrabCut segmentation pipeline (reference pipeline.py:239-352).
 
@@ -220,33 +252,41 @@ class GCNGrabCutPipeline:
                       min_area_ratio: float = 0.002,
                       keep_largest: bool = False,
                       filter_radius: int = 8) -> list[SegmentationResult]:
-        """Segment a batch of same-size images as fused device programs.
+        """Segment a batch of same-size images, device-resident end to end.
 
-        Graph builds share one compiled signature; the GCN forward runs
-        once over the stacked (B, N, F) batch (the per-graph attention
-        readout stays per-image by construction); trimap refinement and
-        GrabCut are vmapped — the batched-inference configuration
-        (BASELINE configs[2]).
+        One vmapped fused graph build, one stacked (B, N, F) model forward
+        (the per-graph attention readout stays per-image by construction),
+        vmapped trimap refinement, prior seeding, GrabCut and component
+        clean-up — arrays never leave the device until the final mask /
+        trimap / segments pull (the tunnel-attached chip moves host data
+        at ~40 MB/s, so intermediate pulls dominated this path before).
+        The batched-inference configuration (BASELINE configs[2]).
         """
-        from .core.graph import stack_graphs
-        from .grabcut import run_batch_with_trimaps
+        from .core.graph import make_graph_batch
+        from .graph_build import build_graph_batch_arrays
+        from .grabcut import grabcut_batch_device, run_batch_with_trimaps
+        from .ops.connected import _clean_mask_jit
 
         assert images, "empty batch"
         H, W = images[0].shape[:2]
-        assert all(im.shape[:2] == (H, W) for im in images), \
+        assert all(x.shape[:2] == (H, W) for x in images), \
             "segment_batch requires same-size images (resize upstream)"
+        B = len(images)
         timing: dict = {}
 
         t = time.perf_counter()
-        graphs = [build_graph(im, self.sp_config) for im in images]
-        batch = stack_graphs([g.graph for g in graphs])
+        rgbs = jnp.asarray(np.stack(images)).astype(jnp.float32)
+        out = build_graph_batch_arrays(rgbs, self.sp_config)
+        batch = make_graph_batch(
+            x=out["x"], edge_src=out["edge_src"], edge_dst=out["edge_dst"],
+            edge_attr=out["edge_attr"], node_mask=out["node_mask"],
+            edge_mask=out["edge_mask"], node_area=out["node_area"])
         timing["graph_build"] = time.perf_counter() - t
 
         t = time.perf_counter()
         logits = apply_model(self.model, self.variables, batch, train=False)
-        probs = np.asarray(jax.nn.softmax(
-            logits.astype(jnp.float32), axis=-1))
-        segments = np.stack([g.segments for g in graphs])
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        segments = out["segments"]
 
         @jax.jit
         def refine_all(probs, segments, grays):
@@ -261,40 +301,44 @@ class GCNGrabCutPipeline:
                 return tri.astype(jnp.uint8)
             return jax.vmap(one)(probs, segments, grays)
 
-        grays = jnp.stack([
-            im.rgb_to_gray(jnp.asarray(x, jnp.float32)) / 255.0
-            for x in images])
-        trimaps = np.asarray(refine_all(
-            jnp.asarray(probs), jnp.asarray(segments), grays))
+        grays = im.rgb_to_gray(rgbs) / 255.0
+        trimaps = refine_all(probs, segments, grays)
+        trimaps = _seed_from_prior_device(
+            trimaps, out["prior"], out["node_mask"], segments)
         timing["gcn_inference"] = time.perf_counter() - t
 
-        trimaps = np.stack([
-            seed_from_prior(trimaps[b], graphs[b])
-            for b in range(len(images))])
-
         t = time.perf_counter()
-        masks = run_batch_with_trimaps(
-            np.stack(images), trimaps, self.gc_config)
+        if B * H * W <= _batch_budget():
+            masks = grabcut_batch_device(rgbs, trimaps, self.gc_config)
+        else:
+            masks = jnp.asarray(run_batch_with_trimaps(
+                np.stack(images), np.asarray(trimaps), self.gc_config))
         timing["grabcut"] = time.perf_counter() - t
 
         t = time.perf_counter()
+        min_area = jnp.float32(min_area_ratio * H * W)
+        cleaned = jax.vmap(
+            lambda m: _clean_mask_jit(m, min_area, keep_largest))(masks)
+        # The single host pull of the whole batch's outputs.
+        masks_np = np.asarray(cleaned)
+        trimaps_np = np.asarray(trimaps)
+        segments_np = np.asarray(segments)
+        timing["postprocess"] = time.perf_counter() - t
+
         results = []
+        tint = np.array([0, 220, 100], np.float32)
         for b, image in enumerate(images):
-            mask = clean_mask(masks[b], min_area_ratio, keep_largest)
+            mask = masks_np[b]
             binary = mask[..., None].astype(np.float32)
-            tint = np.array([0, 220, 100], np.float32)
             overlay = np.clip(image * (1 - 0.45 * binary)
                               + tint * 0.45 * binary, 0, 255).astype(
                                   np.uint8)
             rgba = np.concatenate(
                 [image, (mask * 255)[..., None]], axis=-1).astype(np.uint8)
             results.append(SegmentationResult(
-                image=image, binary_mask=mask, trimap=trimaps[b],
-                segments=segments[b], overlay=overlay, rgba=rgba,
+                image=image, binary_mask=mask, trimap=trimaps_np[b],
+                segments=segments_np[b], overlay=overlay, rgba=rgba,
                 timing=dict(timing)))
-        timing["postprocess"] = time.perf_counter() - t
-        for r in results:
-            r.timing["postprocess"] = timing["postprocess"]
         return results
 
     def segment_bbox(self, image: np.ndarray,
