@@ -143,8 +143,16 @@ def _build_graph_arrays(rgb: jnp.ndarray, n_segments: int, compactness: float,
         adj_pairs, adj_mask, st, shared, jnp.zeros_like(shared))
 
     nl_k = max(n_nonlocal, 1)
-    nl_pairs, nl_mask = edge_ops.nonlocal_pairs(
-        adj_pairs, adj_mask, st["mean_lab"], st["valid"], k, nl_k)
+    if k > prior_ops.LARGE_K_THRESHOLD:
+        # 10k+-superpixel configuration (SURVEY §5.7): blocked k-NN with
+        # index-window adjacency exclusion (SLIC grid order bounds
+        # adjacent labels to ±(gw+1)).
+        _, gw = slic_ops.grid_shape(H, W, n_segments)
+        nl_pairs, nl_mask = edge_ops.nonlocal_pairs_banded(
+            st["mean_lab"], st["valid"], k, nl_k, exclude_window=gw + 1)
+    else:
+        nl_pairs, nl_mask = edge_ops.nonlocal_pairs(
+            adj_pairs, adj_mask, st["mean_lab"], st["valid"], k, nl_k)
     if n_nonlocal <= 0:
         nl_mask = jnp.zeros_like(nl_mask)
     nl_attr = edge_ops.pair_features(

@@ -118,6 +118,58 @@ def nonlocal_pairs(adj_pairs: jnp.ndarray, adj_mask: jnp.ndarray,
     return pairs, mask
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n_nonlocal",
+                                             "exclude_window", "block"))
+def nonlocal_pairs_banded(mean_lab: jnp.ndarray, valid: jnp.ndarray, k: int,
+                          n_nonlocal: int, exclude_window: int,
+                          block: int = 1024
+                          ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked k-NN colour edges for the 10k+-superpixel configuration.
+
+    The reference's dense K x K search (graph_builder.py:324-350) is the
+    SURVEY §5.7 scaling limit; here distances stream in row blocks of
+    `block` under lax.scan (O(K·block) memory).  Spatial-neighbour
+    exclusion uses the SLIC grid ordering: adjacent superpixels differ by
+    at most gw+1 in index, so candidates within `exclude_window` index
+    distance are skipped (a slightly conservative superset of the dense
+    path's exact adjacency exclusion).
+    """
+    budget = nonlocal_budget(k, max(n_nonlocal, 1))
+    if n_nonlocal <= 0 or k <= 1:
+        return (jnp.zeros((budget, 2), jnp.int32),
+                jnp.zeros((budget,), jnp.float32))
+    n_nonlocal = min(n_nonlocal, k - 1)
+
+    kp = ((k + block - 1) // block) * block
+    ml = jnp.pad(mean_lab, ((0, kp - k), (0, 0)))
+    vl = jnp.pad(valid, (0, kp - k))
+    cols = jnp.arange(kp)
+    sent = k * k
+
+    def step(_, i0):
+        mi = jax.lax.dynamic_slice(ml, (i0, 0), (block, 3))
+        vi = jax.lax.dynamic_slice(vl, (i0,), (block,))
+        rows = i0 + jnp.arange(block)
+        d = jnp.linalg.norm(mi[:, None, :] - ml[None, :, :], axis=2)
+        excl = (jnp.abs(rows[:, None] - cols[None, :]) <= exclude_window)
+        excl |= (vi[:, None] <= 0) | (vl[None, :] <= 0)
+        excl |= (rows[:, None] >= k) | (cols[None, :] >= k)
+        d = jnp.where(excl, jnp.inf, d)
+        neg_d, nbrs = jax.lax.top_k(-d, n_nonlocal)
+        finite = jnp.isfinite(-neg_d)
+        lo = jnp.minimum(rows[:, None], nbrs)
+        hi = jnp.maximum(rows[:, None], nbrs)
+        codes = jnp.where(finite, lo * k + hi, sent)
+        return None, codes.reshape(-1)
+
+    _, codes = jax.lax.scan(step, None, jnp.arange(0, kp, block))
+    uniq = jnp.unique(codes.reshape(-1), size=budget, fill_value=sent)
+    mask = (uniq != sent).astype(jnp.float32)
+    uniq = jnp.where(uniq == sent, 0, uniq)
+    pairs = jnp.stack([uniq // k, uniq % k], axis=1).astype(jnp.int32)
+    return pairs, mask
+
+
 def pair_features(pairs: jnp.ndarray, mask: jnp.ndarray, st: dict,
                   shared: jnp.ndarray, nonlocal_flag: jnp.ndarray
                   ) -> jnp.ndarray:

@@ -24,6 +24,38 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Above this many clusters the dense K x K contrast matrix gives way to a
+# j-blocked accumulation (identical numbers, O(K * block) memory).
+LARGE_K_THRESHOLD = 2048
+_CONTRAST_BLOCK = 1024
+
+
+def _contrast_blocked(mean_lab, centroids, area_w, k, contrast_sigma):
+    """contrast_i = sum_j ||c_i - c_j|| exp(-d_ij^2/2s^2) a_j, accumulated
+    over j-blocks under lax.scan — the SURVEY §5.7 blocked kernel for the
+    10k+-superpixel configuration (reference scaling limit:
+    graph_builder.py:406-411 builds the dense matrix)."""
+    B = _CONTRAST_BLOCK
+    kp = ((k + B - 1) // B) * B
+    ml = jnp.pad(mean_lab, ((0, kp - k), (0, 0)))
+    ct = jnp.pad(centroids, ((0, kp - k), (0, 0)))
+    aw = jnp.pad(area_w, (0, kp - k))          # padded areas are 0 → inert
+
+    inv2s2 = 1.0 / (2 * contrast_sigma ** 2)
+
+    def step(acc, j0):
+        mj = jax.lax.dynamic_slice(ml, (j0, 0), (B, 3))
+        cj = jax.lax.dynamic_slice(ct, (j0, 0), (B, 2))
+        aj = jax.lax.dynamic_slice(aw, (j0,), (B,))
+        cd = jnp.linalg.norm(ml[:, None, :] - mj[None, :, :], axis=2)
+        sd2 = jnp.sum((ct[:, None, :] - cj[None, :, :]) ** 2, axis=2)
+        w = jnp.exp(-sd2 * inv2s2)
+        return acc + jnp.sum(cd * w * aj[None, :], axis=1), None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros(kp, jnp.float32),
+                          jnp.arange(0, kp, B))
+    return acc[:k]
+
 
 def _unit_norm_masked(v: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Min-max to [0,1] over valid entries; constant vectors → zeros.
@@ -61,15 +93,19 @@ def compute_auto_prior(segments: jnp.ndarray, lab: jnp.ndarray, k: int,
     centroids = jnp.stack([cy, cx], axis=1)
 
     # --- Cue 1: spatially weighted global colour contrast ------------------
-    colour_d = jnp.linalg.norm(
-        mean_lab[:, None, :] - mean_lab[None, :, :], axis=2)
-    spatial_d = jnp.linalg.norm(
-        centroids[:, None, :] - centroids[None, :, :], axis=2)
-    spatial_w = jnp.exp(-(spatial_d ** 2) / (2 * contrast_sigma ** 2))
     area_w = counts / jnp.maximum(jnp.sum(counts), 1.0)
-
-    # Empty clusters carry area 0, so they drop out of the sum naturally.
-    contrast = jnp.sum(colour_d * spatial_w * area_w[None, :], axis=1)
+    if k > LARGE_K_THRESHOLD:
+        # Blocked accumulation (same numbers, O(K·block) memory).
+        contrast = _contrast_blocked(mean_lab, centroids, area_w, k,
+                                     contrast_sigma)
+    else:
+        colour_d = jnp.linalg.norm(
+            mean_lab[:, None, :] - mean_lab[None, :, :], axis=2)
+        spatial_d = jnp.linalg.norm(
+            centroids[:, None, :] - centroids[None, :, :], axis=2)
+        spatial_w = jnp.exp(-(spatial_d ** 2) / (2 * contrast_sigma ** 2))
+        # Empty clusters carry area 0, so they drop out of the sum.
+        contrast = jnp.sum(colour_d * spatial_w * area_w[None, :], axis=1)
     contrast = _unit_norm_masked(contrast, valid)
 
     centre_d = jnp.linalg.norm(centroids - 0.5, axis=1)

@@ -49,7 +49,8 @@ def partition_edges_by_dst(edge_src: np.ndarray, edge_dst: np.ndarray,
         o = i * per_shard
         src[o:o + len(idx)] = edge_src[idx]
         dst[o:o + len(idx)] = edge_dst[idx]
-        msk[o:o + len(idx)] = 1.0
+        # The mask column carries the edge weight (1.0 for plain masks).
+        msk[o:o + len(idx)] = edge_mask[idx]
         # Padded slots point at the block's first node with zero mask.
         dst[o + len(idx):o + per_shard] = min(i * block, n_nodes - 1)
     return src, dst, msk
@@ -71,11 +72,13 @@ def sharded_scatter_add(mesh: Mesh, n_nodes: int):
         i = jax.lax.axis_index(axis)
         block = x_blk.shape[0]
         base = i * block
-        msgs = x_full[src] * mask[:, None]
+        msgs = x_full[src].astype(jnp.float32) * mask[:, None]
         local_dst = jnp.clip(dst - base, 0, block - 1)
-        in_block = ((dst >= base) & (dst < base + block)).astype(x_blk.dtype)
+        in_block = ((dst >= base) & (dst < base + block)).astype(jnp.float32)
         msgs = msgs * in_block[:, None]
-        return jnp.zeros_like(x_blk).at[local_dst].add(msgs)
+        out = jnp.zeros((block, x_blk.shape[1]),
+                        jnp.float32).at[local_dst].add(msgs)
+        return out.astype(x_blk.dtype)
 
     return shard_map(
         local, mesh=mesh,
@@ -111,7 +114,8 @@ def partition_edges_2d(edge_src: np.ndarray, edge_dst: np.ndarray,
         k = fill[i, j]
         src[i, j, k] = edge_src[e] - j * block
         dst[i, j, k] = edge_dst[e] - i * block
-        msk[i, j, k] = 1.0
+        # The mask column carries the edge weight (1.0 for plain masks).
+        msk[i, j, k] = edge_mask[e]
         fill[i, j] = k + 1
     return src, dst, msk
 
@@ -144,20 +148,84 @@ def ring_scatter_add(mesh: Mesh, n_nodes: int):
                 dst_b[0], j, axis=0, keepdims=False)
             m = jax.lax.dynamic_index_in_dim(
                 mask_b[0], j, axis=0, keepdims=False)
-            msgs = x_rot[jnp.clip(src, 0, block - 1)] * m[:, None]
+            msgs = (x_rot[jnp.clip(src, 0, block - 1)].astype(jnp.float32)
+                    * m[:, None])
             acc = acc.at[jnp.clip(dst, 0, block - 1)].add(msgs)
             x_rot = jax.lax.ppermute(x_rot, axis, perm)
             return x_rot, acc
 
-        _, acc = jax.lax.fori_loop(
-            0, n, step, (x_blk, jnp.zeros_like(x_blk)))
-        return acc
+        # Derive the accumulator from x_blk so it inherits the shard_map
+        # "varying" annotation (a fresh jnp.zeros would be unvarying and
+        # reject the loop carry).
+        acc0 = (x_blk * 0).astype(jnp.float32)
+        _, acc = jax.lax.fori_loop(0, n, step, (x_blk, acc0))
+        return acc.astype(x_blk.dtype)
 
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None, None),
                   P(axis, None, None), P(axis, None, None)),
         out_specs=P(axis, None))
+
+
+def mesh_aggregators(mesh: Mesh, edge_src, edge_dst, edge_mask,
+                     n_nodes: int, method: str = "ring"):
+    """(gcn_propagate, mean_propagate) callables for
+    ``ResGCNNet(aggregators=…)`` that run the neighbourhood aggregation
+    edge-partitioned over the mesh "graph" axis.
+
+    GCN weights fold PyG's symmetric normalisation and self loops into
+    per-edge weights exactly as models/large.py:build_gcn_plans; the mean
+    aggregator uses 1/deg(dst).  `method="ring"` circulates node blocks
+    with `lax.ppermute` (O(N/n) peak memory, permute s+1 overlappable with
+    bucket-s compute); `method="allgather"` assembles the full node axis
+    per layer.  Both accept the model's (1, N, D) activations.
+    """
+    n_sh = mesh.shape["graph"]
+    block = -(-n_nodes // n_sh)
+    n_pad = block * n_sh
+
+    keep = np.asarray(edge_mask) > 0
+    src = np.asarray(edge_src)[keep].astype(np.int64)
+    dst = np.asarray(edge_dst)[keep].astype(np.int64)
+    deg = np.bincount(dst, minlength=n_pad).astype(np.float64)
+    dhat = deg + 1.0
+    dis = 1.0 / np.sqrt(dhat)
+    loops = np.arange(n_nodes)
+    g_src = np.concatenate([src, loops])
+    g_dst = np.concatenate([dst, loops])
+    g_w = np.concatenate([dis[src] * dis[dst],
+                          1.0 / dhat[:n_nodes]]).astype(np.float32)
+    m_w = (1.0 / np.maximum(deg, 1.0))[dst].astype(np.float32)
+
+    if method == "ring":
+        agg = ring_scatter_add(mesh, n_pad)
+
+        def build(ss, dd, ww):
+            s2, d2, w2 = partition_edges_2d(ss, dd, ww, n_pad, n_sh)
+            s2, d2, w2 = jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2)
+
+            def prop(h):
+                n = h.shape[1]
+                hp = jnp.pad(h[0], ((0, n_pad - n), (0, 0)))
+                return agg(hp, s2, d2, w2)[:n][None]
+            return prop
+    elif method == "allgather":
+        agg = sharded_scatter_add(mesh, n_pad)
+
+        def build(ss, dd, ww):
+            ps, pd, pw = partition_edges_by_dst(ss, dd, ww, n_pad, n_sh)
+            ps, pd, pw = jnp.asarray(ps), jnp.asarray(pd), jnp.asarray(pw)
+
+            def prop(h):
+                n = h.shape[1]
+                hp = jnp.pad(h[0], ((0, n_pad - n), (0, 0)))
+                return agg(hp, ps, pd, pw)[:n][None]
+            return prop
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+
+    return build(g_src, g_dst, g_w), build(src, dst, m_w)
 
 
 def sharded_gcn_layer(mesh: Mesh, n_nodes: int):

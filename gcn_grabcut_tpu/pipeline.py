@@ -194,9 +194,18 @@ class GCNGrabCutPipeline:
         self.sp_config = sp_config or SuperpixelGraphConfig()
         self.gc_config = gc_config or GrabCutConfig()
 
+    # Above this many superpixels the GCN forward switches from the dense
+    # N x N adjacency to the banded-SpMM large-graph path (models/large.py)
+    # — the dense matrices at 10k+ nodes cost O(N^2) memory per layer.
+    LARGE_NODE_THRESHOLD = 2048
+
     def predict_probs(self, graph: RegionGraph) -> np.ndarray:
-        logits = apply_model(self.model, self.variables, graph.graph,
-                             train=False)
+        if graph.n_nodes > self.LARGE_NODE_THRESHOLD:
+            from .models.large import apply_large
+            logits = apply_large(self.model, self.variables, graph.graph)
+        else:
+            logits = apply_model(self.model, self.variables, graph.graph,
+                                 train=False)
         return np.asarray(
             jax.nn.softmax(logits.astype(jnp.float32), axis=-1))[0]
 
