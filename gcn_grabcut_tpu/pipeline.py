@@ -215,6 +215,22 @@ class GCNGrabCutPipeline:
                 keep_largest: bool = False, edge_aware: bool = True,
                 filter_radius: int = 8) -> SegmentationResult:
         """Image in → mask out, fully automatic."""
+        from .graph_build import num_nodes_for
+
+        # The default configuration (edge-aware trimap, no extra refine
+        # rounds, dense-path node counts) runs through the device-resident
+        # batched program at B=1: graph build → forward → trimap → GrabCut
+        # → clean-up with a single host pull at the end (PERF.md: the
+        # per-stage pulls dominated the scalar path).
+        k_static = num_nodes_for(image.shape[0], image.shape[1],
+                                 self.sp_config)
+        if (edge_aware and refine_iters == 0
+                and k_static <= self.LARGE_NODE_THRESHOLD):
+            return self.segment_batch(
+                [image], threshold_fg=threshold_fg,
+                threshold_bg=threshold_bg, min_area_ratio=min_area_ratio,
+                keep_largest=keep_largest, filter_radius=filter_radius)[0]
+
         timing: dict = {}
 
         t = time.perf_counter()
