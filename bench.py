@@ -62,19 +62,38 @@ def bench_jax():
                         dtype=jnp.bfloat16)
     variables = init_model(model, jax.random.PRNGKey(0), batch)
 
-    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
-    out = fwd(variables, batch)
-    out.block_until_ready()   # compile
+    # Slope timing: this tunnel-attached backend adds ~0.5-4 ms of
+    # per-dispatch/loop-iteration overhead that is NOT device compute (a
+    # production server pipelines dispatches, so steady-state throughput
+    # is the marginal cost).  Forwards are chained data-dependently inside
+    # one jit (output perturbs the next input, so nothing can be elided or
+    # deduped) and the per-forward time is the marginal cost between
+    # bodies with 5 chained forwards and 1.
+    import dataclasses
 
-    n_iter = 20
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = fwd(variables, batch)
-        out.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / n_iter)
-    return e_valid / best, best, e_valid
+    def time_chain(reps, iters=20):
+        @jax.jit
+        def chain(v, b):
+            def body(_, bb):
+                for _ in range(reps):
+                    out = model.apply(v, bb, train=False)
+                    delta = (jnp.tanh(out.sum()) * 1e-6).astype(bb.x.dtype)
+                    bb = dataclasses.replace(bb, x=bb.x + delta)
+                return bb
+            return jax.lax.fori_loop(0, iters, body, b).x
+
+        chain(variables, batch).block_until_ready()   # compile
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            chain(variables, batch).block_until_ready()
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    t1 = time_chain(1)
+    t5 = time_chain(5)
+    per_fwd = max((t5 - t1) / 4, 1e-9)
+    return e_valid / per_fwd, per_fwd, e_valid
 
 
 def bench_torch_cpu(e_valid):
