@@ -21,6 +21,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Train a GCN trimap model (TPU)")
     p.add_argument("--images", type=str, default=None)
     p.add_argument("--masks", type=str, default=None)
+    p.add_argument("--hard-synthetic", type=int, default=0,
+                   help="train on N hard-synthetic samples (the DUTS "
+                        "stand-in benchmark distribution)")
+    p.add_argument("--hard-size", type=int, default=512)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic samples instead of a dataset")
     p.add_argument("--model", choices=["resgcn", "gcn", "gat"],
@@ -78,7 +82,12 @@ def main(argv=None):
 
     sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
 
-    if args.synthetic:
+    if args.hard_synthetic:
+        from ..data.dataset import make_hard_synthetic_dataset
+        samples = make_hard_synthetic_dataset(
+            n=args.hard_synthetic, size=args.hard_size, seed=args.seed)
+        train_s, val_s, _ = split_dataset(samples, seed=args.seed)
+    elif args.synthetic:
         samples = make_synthetic_dataset(n=args.synthetic, seed=args.seed)
         train_s, val_s, _ = split_dataset(samples, seed=args.seed)
     else:
