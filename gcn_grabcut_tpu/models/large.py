@@ -67,13 +67,16 @@ def spmm_aggregators(gcn_plan: SpmmPlan, mean_plan: SpmmPlan,
 
 
 def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
-                window: int = 512):
+                window: int = 512, plans=None):
     """Forward a single large graph (G=1) through `model` with SpMM
-    aggregation.  Plans are built host-side from the edge list."""
+    aggregation.  Plans are built host-side from the edge list; pass
+    `plans=(gcn_plan, mean_plan)` (from `build_gcn_plans`) to amortise the
+    plan compilation across repeated forwards on the same graph."""
     assert g.n_graphs == 1, "large-graph path operates on one graph"
     n = g.max_nodes
-    gcn_plan, mean_plan = build_gcn_plans(
-        np.asarray(g.edge_src[0]), np.asarray(g.edge_dst[0]),
-        np.asarray(g.edge_mask[0]), n, window=window)
-    aggs = spmm_aggregators(gcn_plan, mean_plan, interpret=interpret)
+    if plans is None:
+        plans = build_gcn_plans(
+            np.asarray(g.edge_src[0]), np.asarray(g.edge_dst[0]),
+            np.asarray(g.edge_mask[0]), n, window=window)
+    aggs = spmm_aggregators(plans[0], plans[1], interpret=interpret)
     return model.apply(variables, g, train=False, aggregators=aggs)

@@ -235,7 +235,11 @@ def banded_spmm(x: jnp.ndarray, plan: SpmmPlan, interpret: bool = False,
     if interpret:
         precision = "highest"
 
-    band = jnp.asarray(plan.band)
+    # The band is the bulk of the plan (N x W values); the default path
+    # contracts in bf16 anyway, so cast host-side and upload half the
+    # bytes (the tunnel-attached chip moves host data at ~25-50 MB/s).
+    band = jnp.asarray(plan.band, jnp.float32 if precision == "highest"
+                       else jnp.bfloat16)
     if backend == "pallas" and not interpret:
         out = _banded_spmm_pallas(x.astype(jnp.float32), band,
                                   plan.block_rows, plan.k_blocks, precision)

@@ -74,15 +74,25 @@ def main():
     t0 = time.perf_counter()
     logits = apply_large(model, vs, g.graph)
     print(f"apply_large compile+first: {time.perf_counter() - t0:.1f}s")
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
         logits = apply_large(model, vs, g.graph)
         s = float(logits.sum())
         t = time.perf_counter() - t0
+        print(f"apply_large warm (plans rebuilt): {t:.2f}s  sum={s:.1f}")
+    from gcn_grabcut_tpu.models.large import build_gcn_plans
+    plans = build_gcn_plans(
+        np.asarray(g.graph.edge_src[0]), np.asarray(g.graph.edge_dst[0]),
+        np.asarray(g.graph.edge_mask[0]), g.graph.max_nodes)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        logits = apply_large(model, vs, g.graph, plans=plans)
+        s = float(logits.sum())
+        t = time.perf_counter() - t0
         # 7 SpMM propagations per forward (6 GCN layers + 1 SAGE).
         eps = 7 * n_edges / t / 1e6
-        print(f"apply_large warm: {t:.2f}s  ({eps:.0f} M edge-msgs/s, "
-              f"sum={s:.1f})")
+        print(f"apply_large warm (cached plans): {t:.2f}s  "
+              f"({eps:.0f} M edge-msgs/s, sum={s:.1f})")
 
     pipe = GCNGrabCutPipeline(model, vs, sp_config=cfg)
     t0 = time.perf_counter()
