@@ -94,13 +94,18 @@ def main(argv=None):
         for shape, group in groups.items():
             for i in range(0, len(group), args.batch):
                 chunk = group[i:i + args.batch]
+                # Pad short tail chunks up to the batch size so the cached
+                # B-sized program is reused instead of compiling a new one.
+                imgs = [c["image"] for c in chunk]
+                while len(imgs) < args.batch:
+                    imgs.append(imgs[-1])
                 t0 = time.perf_counter()
                 rs = pipe.segment_batch(
-                    [c["image"] for c in chunk],
+                    imgs,
                     threshold_fg=args.threshold,
                     threshold_bg=args.threshold,
                     keep_largest=args.keep_largest,
-                    filter_radius=args.filter_radius)
+                    filter_radius=args.filter_radius)[:len(chunk)]
                 dt = (time.perf_counter() - t0) / len(chunk)
                 for r, c in zip(rs, chunk):
                     results_gt.append((r, c["gt_mask"]))

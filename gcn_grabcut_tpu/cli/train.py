@@ -24,6 +24,9 @@ def parse_args(argv=None):
     p.add_argument("--hard-synthetic", type=int, default=0,
                    help="train on N hard-synthetic samples (the DUTS "
                         "stand-in benchmark distribution)")
+    p.add_argument("--photo-synthetic", type=int, default=0,
+                   help="additionally mix in N photo-statistics synthetic "
+                        "samples (scene backgrounds, multi-part objects)")
     p.add_argument("--hard-size", type=int, default=512)
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic samples instead of a dataset")
@@ -82,10 +85,17 @@ def main(argv=None):
 
     sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
 
-    if args.hard_synthetic:
-        from ..data.dataset import make_hard_synthetic_dataset
-        samples = make_hard_synthetic_dataset(
-            n=args.hard_synthetic, size=args.hard_size, seed=args.seed)
+    if args.hard_synthetic or args.photo_synthetic:
+        from ..data.dataset import (make_hard_synthetic_dataset,
+                                    make_photo_synthetic_dataset)
+        samples = []
+        if args.hard_synthetic:
+            samples += make_hard_synthetic_dataset(
+                n=args.hard_synthetic, size=args.hard_size, seed=args.seed)
+        if args.photo_synthetic:
+            samples += make_photo_synthetic_dataset(
+                n=args.photo_synthetic, size=args.hard_size,
+                seed=args.seed + 1)
         train_s, val_s, _ = split_dataset(samples, seed=args.seed)
     elif args.synthetic:
         samples = make_synthetic_dataset(n=args.synthetic, seed=args.seed)

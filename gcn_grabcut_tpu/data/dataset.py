@@ -545,6 +545,120 @@ def make_hard_synthetic_dataset(n: int = 200, size: int = 192,
     return samples
 
 
+def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
+                                 seed: int = 99) -> list[dict]:
+    """Photograph-statistics training distribution: scene-like backgrounds
+    (two soft zones with a horizon, multi-scale texture, vignette), one
+    salient multi-part object (overlapping ellipse parts with internal
+    colour patches, contour darkening and a soft contact shadow), plus
+    background distractor blobs and photometric jitter.
+
+    Intended to close the domain gap between the geometric hard-synthetic
+    fixture and real photos (demo_eval.py) when no real dataset is
+    available.  Evaluation fixtures (`make_hard_synthetic_dataset`) are
+    deliberately left untouched so accuracy numbers stay comparable
+    across rounds.
+    """
+    rng = np.random.RandomState(seed)
+    samples = []
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    for i in range(n):
+        # --- background: two colour zones with a soft horizon ----------
+        c_top = rng.randint(40, 220, 3).astype(np.float32)
+        c_bot = np.clip(c_top + rng.randint(-90, 90, 3), 20, 235)
+        horizon = rng.uniform(0.25, 0.75)
+        softness = rng.uniform(0.02, 0.25)
+        blend = 1.0 / (1.0 + np.exp(-(yy - horizon) / softness))
+        img = (c_top[None, None] * (1 - blend[..., None])
+               + c_bot[None, None] * blend[..., None])
+        for scale in (8, 32, 128):
+            lowres = rng.randn(size // scale + 2, size // scale + 2, 3)
+            img += cv2.resize(lowres, (size, size),
+                              interpolation=cv2.INTER_CUBIC) * rng.uniform(4, 16)
+        # vignette
+        r2 = (yy - 0.5) ** 2 + (xx - 0.5) ** 2
+        img *= (1.0 - rng.uniform(0.0, 0.35) * r2)[..., None]
+
+        # --- object: multi-part union of ellipses ----------------------
+        mask = np.zeros((size, size), np.uint8)
+        cx = int(size * rng.uniform(0.3, 0.7))
+        cy = int(size * rng.uniform(0.35, 0.7))
+        scale_o = rng.uniform(0.12, 0.3) * size
+        n_parts = rng.randint(2, 6)
+        for p in range(n_parts):
+            a = int(scale_o * rng.uniform(0.35, 1.0))
+            b = int(scale_o * rng.uniform(0.25, 0.8))
+            th = rng.randint(0, 180)
+            dx = int(scale_o * rng.uniform(-0.8, 0.8))
+            dy = int(scale_o * rng.uniform(-0.8, 0.8))
+            cv2.ellipse(mask, (cx + dx, cy + dy), (max(a, 4), max(b, 4)),
+                        th, 0, 360, 1, -1)
+
+        if mask.sum() < 400 or mask.sum() > 0.6 * size * size:
+            continue
+
+        # soft contact shadow below the object
+        sh = cv2.dilate(mask, np.ones((9, 9), np.uint8))
+        sh = np.roll(sh, rng.randint(5, size // 20), axis=0)
+        sh = cv2.GaussianBlur(sh.astype(np.float32), (0, 0), size / 40)
+        img *= (1.0 - 0.4 * np.clip(sh - mask, 0, 1))[..., None]
+
+        # object fill: 1-3 internal colour patches + texture
+        obj = np.zeros_like(img)
+        base_col = rng.randint(25, 230, 3).astype(np.float32)
+        patch_lbl = np.zeros((size, size), np.uint8)
+        for q in range(rng.randint(1, 4)):
+            pm = np.zeros((size, size), np.uint8)
+            a = int(scale_o * rng.uniform(0.4, 1.2))
+            b = int(scale_o * rng.uniform(0.3, 1.0))
+            dx = int(scale_o * rng.uniform(-0.6, 0.6))
+            dy = int(scale_o * rng.uniform(-0.6, 0.6))
+            cv2.ellipse(pm, (cx + dx, cy + dy), (max(a, 4), max(b, 4)),
+                        rng.randint(0, 180), 0, 360, 1, -1)
+            patch_lbl[pm > 0] = q + 1
+        cols = [base_col] + [
+            np.clip(base_col + rng.randint(-120, 120, 3), 10, 245)
+            for _ in range(3)]
+        for q in range(4):
+            obj[patch_lbl == q] = cols[q]
+        obj += rng.randn(size, size, 3) * rng.uniform(3, 14)
+        img = np.where(mask[..., None] > 0, obj, img)
+
+        # contour darkening (real objects self-shadow at silhouettes)
+        edge = cv2.morphologyEx(mask, cv2.MORPH_GRADIENT,
+                                np.ones((3, 3), np.uint8))
+        edge = cv2.GaussianBlur(edge.astype(np.float32), (0, 0), 1.5)
+        img *= (1.0 - 0.25 * edge)[..., None]
+
+        # background distractors (object-family colours allowed)
+        for _ in range(rng.randint(0, 4)):
+            bx, by = rng.randint(0, size, 2)
+            if mask[min(by, size - 1), min(bx, size - 1)]:
+                continue
+            r_ = rng.randint(size // 30, size // 10)
+            dcol = np.clip(base_col + rng.randint(-60, 60, 3), 0, 255)
+            dist = np.zeros((size, size), np.uint8)
+            cv2.circle(dist, (bx, by), r_, 1, -1)
+            dist &= (1 - mask)
+            img = np.where(dist[..., None] > 0,
+                           dcol[None, None] + rng.randn(size, size, 3) * 8,
+                           img)
+
+        # photometrics: gamma + brightness jitter + sensor noise
+        g = rng.uniform(0.75, 1.3)
+        img = np.clip(img, 0, 255)
+        img = 255.0 * (img / 255.0) ** g
+        img = np.clip(img * rng.uniform(0.85, 1.15)
+                      + rng.randn(size, size, 3) * 4, 0, 255).astype(np.uint8)
+
+        if mask.sum() < 200 or (1 - mask).sum() < 200:
+            continue
+        samples.append({"image": img, "gt_mask": mask,
+                        "name": f"photo_{i:04d}"})
+    print(f"[Dataset] Generated {len(samples)} photo-synthetic samples.")
+    return samples
+
+
 def split_dataset(samples: list, val_ratio: float = 0.15,
                   test_ratio: float = 0.05, seed: int = 42):
     """Shuffled train/val/test split (reference dataset.py:752-769)."""

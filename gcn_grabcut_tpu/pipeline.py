@@ -297,6 +297,16 @@ class GCNGrabCutPipeline:
         assert all(x.shape[:2] == (H, W) for x in images), \
             "segment_batch requires same-size images (resize upstream)"
         B = len(images)
+
+        # The stacked forward uses the dense (B, N, N) adjacency; above the
+        # large-graph threshold that is O(N^2) memory per layer, so route
+        # through the scalar banded-SpMM path per image instead.
+        from .graph_build import num_nodes_for
+        if num_nodes_for(H, W, self.sp_config) > self.LARGE_NODE_THRESHOLD:
+            return [self.segment(
+                im_, threshold_fg=threshold_fg, threshold_bg=threshold_bg,
+                min_area_ratio=min_area_ratio, keep_largest=keep_largest,
+                filter_radius=filter_radius) for im_ in images]
         timing: dict = {}
 
         t = time.perf_counter()
