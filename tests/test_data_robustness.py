@@ -123,3 +123,20 @@ class TestAugmentation:
         assert a1[0].shape == img.shape and a1[1].shape == mask.shape
         np.testing.assert_array_equal(a1[0], a2[0])
         assert set(np.unique(a1[1])) <= {0, 1}
+
+
+class TestPhotoSyntheticGenerator:
+    def test_shapes_labels_and_determinism(self):
+        from gcn_grabcut_tpu.data.dataset import make_photo_synthetic_dataset
+        a = make_photo_synthetic_dataset(n=6, size=160, seed=5)
+        b = make_photo_synthetic_dataset(n=6, size=160, seed=5)
+        assert len(a) >= 4
+        for s in a:
+            assert s["image"].shape == (160, 160, 3)
+            assert s["image"].dtype == np.uint8
+            assert set(np.unique(s["gt_mask"])) <= {0, 1}
+            fg = s["gt_mask"].mean()
+            assert 0.005 < fg < 0.65
+        # Seeded determinism (cache keys depend on pixel content).
+        np.testing.assert_array_equal(a[0]["image"], b[0]["image"])
+        np.testing.assert_array_equal(a[0]["gt_mask"], b[0]["gt_mask"])
