@@ -109,12 +109,13 @@ def _grabcut_solve(pix: jnp.ndarray, mask: jnp.ndarray, comp0: jnp.ndarray,
                                         ).astype(jnp.float32)
 
     def body(_, carry):
-        mask, comp, e_carry, E_prev, r_fwd, r_bwd = carry
+        mask, comp, fg_gmm, bg_gmm, e_carry, E_prev, r_fwd, r_bwd = carry
         fg_sel, bg_sel = class_masks(mask)
 
-        # 1-2. component re-assignment + GMM re-estimation.
-        fg_gmm = gmm_ops.fit_gmm(pix, fg_sel, comp, n_components)
-        bg_gmm = gmm_ops.fit_gmm(pix, bg_sel, comp, n_components)
+        # 1-2. component re-assignment under the carried GMMs, then one
+        # re-estimation — exactly cv2's per-iteration order
+        # (assignGMMsComponents → learnGMMs), and half the GMM fits of
+        # fitting before and after the assignment.
         fg_comp = gmm_ops.assign_components(pix, fg_gmm)
         bg_comp = gmm_ops.assign_components(pix, bg_gmm)
         comp = jnp.where(fg_sel > 0, fg_comp, bg_comp)
@@ -142,12 +143,18 @@ def _grabcut_solve(pix: jnp.ndarray, mask: jnp.ndarray, comp0: jnp.ndarray,
             jnp.where(fg_side, TRIMAP_PROB_FG, TRIMAP_PROB_BG).astype(
                 mask.dtype),
             mask)
-        return new_mask, comp, e_out, E_t, r_fwd, r_bwd
+        return (new_mask, comp, fg_gmm, bg_gmm, e_out, E_t, r_fwd, r_bwd)
+
+    # initGMMs: one fit from the k-means components before iterating.
+    fg_sel0, bg_sel0 = class_masks(mask)
+    fg_gmm0 = gmm_ops.fit_gmm(pix, fg_sel0, comp0, n_components)
+    bg_gmm0 = gmm_ops.fit_gmm(pix, bg_sel0, comp0, n_components)
 
     r_fwd0, r_bwd0 = _fresh_residuals(caps, OFFSETS_8)
     zeros = jnp.zeros_like(pix[..., 0])
-    mask, comp, _, _, _, _ = jax.lax.fori_loop(
-        0, n_iter, body, (mask, comp0, zeros, zeros, r_fwd0, r_bwd0))
+    mask, comp, _, _, _, _, _, _ = jax.lax.fori_loop(
+        0, n_iter, body, (mask, comp0, fg_gmm0, bg_gmm0, zeros, zeros,
+                          r_fwd0, r_bwd0))
     return mask, comp
 
 
@@ -165,18 +172,20 @@ def _grabcut_solve_native(pix: np.ndarray, mask: np.ndarray,
     mask = np.asarray(mask).copy()
     comp = np.asarray(comp0)
 
+    fg0 = jnp.asarray((mask == TRIMAP_FG) | (mask == TRIMAP_PROB_FG),
+                      jnp.float32)
+    fg_gmm = gmm_ops.fit_gmm(pixj, fg0, jnp.asarray(comp), n_components)
+    bg_gmm = gmm_ops.fit_gmm(pixj, 1.0 - fg0, jnp.asarray(comp),
+                             n_components)
     for _ in range(n_iter):
         fg_sel = (mask == TRIMAP_FG) | (mask == TRIMAP_PROB_FG)
         fg_j = jnp.asarray(fg_sel, jnp.float32)
-        bg_j = 1.0 - fg_j
-        compj = jnp.asarray(comp)
-        fg_gmm = gmm_ops.fit_gmm(pixj, fg_j, compj, n_components)
-        bg_gmm = gmm_ops.fit_gmm(pixj, bg_j, compj, n_components)
+        # cv2 order: assign under the carried GMMs, then one re-fit.
         fg_comp = gmm_ops.assign_components(pixj, fg_gmm)
         bg_comp = gmm_ops.assign_components(pixj, bg_gmm)
         compj = jnp.where(fg_j > 0, fg_comp, bg_comp)
         fg_gmm = gmm_ops.fit_gmm(pixj, fg_j, compj, n_components)
-        bg_gmm = gmm_ops.fit_gmm(pixj, bg_j, compj, n_components)
+        bg_gmm = gmm_ops.fit_gmm(pixj, 1.0 - fg_j, compj, n_components)
         comp = np.asarray(compj)
 
         log_fg = np.asarray(gmm_ops.gmm_log_prob(pixj, fg_gmm))
