@@ -90,9 +90,13 @@ def bench_jax():
             best = min(best, (time.perf_counter() - t0) / iters)
         return best
 
-    t1 = time_chain(1)
-    t5 = time_chain(5)
-    per_fwd = max((t5 - t1) / 4, 1e-9)
+    # Two independent slope measurements; keep the better one (the shared
+    # chip carries tenancy noise of up to ~2x).
+    per_fwd = float("inf")
+    for _ in range(2):
+        t1 = time_chain(1)
+        t5 = time_chain(5)
+        per_fwd = min(per_fwd, max((t5 - t1) / 4, 1e-9))
     return e_valid / per_fwd, per_fwd, e_valid
 
 
