@@ -17,11 +17,14 @@ index-banded and almost every edge lands in the Pallas kernel's window.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
 from ..core.graph import GraphBatch
-from ..ops.spmm import SpmmPlan, spmm_plan, banded_spmm
+from ..ops.spmm import SpmmPlan, spmm_plan, spmm_plan_device, banded_spmm
 
 
 def build_gcn_plans(edge_src: np.ndarray, edge_dst: np.ndarray,
@@ -53,6 +56,45 @@ def build_gcn_plans(edge_src: np.ndarray, edge_dst: np.ndarray,
     return gcn_plan, mean_plan
 
 
+@functools.partial(jax.jit, static_argnames=("n_nodes",))
+def _gcn_edge_weights_device(src, dst, mask, n_nodes):
+    """GCN + mean per-edge weights from a masked device edge list.
+
+    Degree via a dst-sorted segment-sum (sorted scatters compile fast on
+    this backend, unsorted ones do not — see ops/spmm.py)."""
+    src = jnp.clip(src.astype(jnp.int32), 0, n_nodes - 1)
+    dst = jnp.clip(dst.astype(jnp.int32), 0, n_nodes - 1)
+    m = mask.astype(jnp.float32)
+    order = jnp.argsort(dst)
+    deg = jax.ops.segment_sum(m[order], dst[order], num_segments=n_nodes,
+                              indices_are_sorted=True)
+    dhat = deg + 1.0
+    dis = jax.lax.rsqrt(dhat)
+    g_w = dis[src] * dis[dst] * m          # neighbour term
+    loop_w = 1.0 / dhat                    # self-loop term
+    m_w = (1.0 / jnp.maximum(deg, 1.0))[dst] * m
+    return src, dst, g_w, loop_w, m_w
+
+
+def build_gcn_plans_device(edge_src, edge_dst, edge_mask, n_nodes: int,
+                           block_rows: int = 128, window: int = 512
+                           ) -> tuple[SpmmPlan, SpmmPlan]:
+    """`build_gcn_plans` computed entirely on device: no edge-list pull and
+    no band upload (ops/spmm.py `spmm_plan_device`).  Masked edges carry
+    weight 0 instead of being filtered (static shapes)."""
+    src, dst, g_w, loop_w, m_w = _gcn_edge_weights_device(
+        jnp.asarray(edge_src), jnp.asarray(edge_dst),
+        jnp.asarray(edge_mask), n_nodes)
+    loops = jnp.arange(n_nodes, dtype=jnp.int32)
+    gcn_plan = spmm_plan_device(
+        jnp.concatenate([src, loops]), jnp.concatenate([dst, loops]),
+        jnp.concatenate([g_w, loop_w]), n_nodes,
+        block_rows=block_rows, window=window)
+    mean_plan = spmm_plan_device(src, dst, m_w, n_nodes,
+                                 block_rows=block_rows, window=window)
+    return gcn_plan, mean_plan
+
+
 def spmm_aggregators(gcn_plan: SpmmPlan, mean_plan: SpmmPlan,
                      interpret: bool = False):
     """(gcn_propagate, mean_propagate) callables over (1, N, D) batches."""
@@ -69,14 +111,17 @@ def spmm_aggregators(gcn_plan: SpmmPlan, mean_plan: SpmmPlan,
 def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
                 window: int = 512, plans=None):
     """Forward a single large graph (G=1) through `model` with SpMM
-    aggregation.  Plans are built host-side from the edge list; pass
-    `plans=(gcn_plan, mean_plan)` (from `build_gcn_plans`) to amortise the
-    plan compilation across repeated forwards on the same graph."""
+    aggregation.  Plans default to the on-device builder (the graph's edge
+    arrays are already device-resident in the pipeline, and the alternative
+    — pull the edge list, build the ~25-45 MB band on the host, upload it —
+    costs more over the tunnel than the forward it feeds); pass
+    `plans=(gcn_plan, mean_plan)` (from `build_gcn_plans` or
+    `build_gcn_plans_device`) to amortise plan construction across repeated
+    forwards on the same graph."""
     assert g.n_graphs == 1, "large-graph path operates on one graph"
     n = g.max_nodes
     if plans is None:
-        plans = build_gcn_plans(
-            np.asarray(g.edge_src[0]), np.asarray(g.edge_dst[0]),
-            np.asarray(g.edge_mask[0]), n, window=window)
+        plans = build_gcn_plans_device(
+            g.edge_src[0], g.edge_dst[0], g.edge_mask[0], n, window=window)
     aggs = spmm_aggregators(plans[0], plans[1], interpret=interpret)
     return model.apply(variables, g, train=False, aggregators=aggs)

@@ -128,6 +128,59 @@ def spmm_plan(src: np.ndarray, dst: np.ndarray, weight: np.ndarray,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad", "block_rows",
+                                             "k_blocks"))
+def _plan_device_arrays(src, dst, weight, n_pad, block_rows, k_blocks):
+    """Device-side band build: one sorted scatter-add into the flattened
+    (K, n_pad, R) band + a dst-sorted copy of the out-of-window edges.
+
+    Padded / masked edges must arrive with weight 0 — they contribute
+    nothing (static shapes; no boolean filtering on device)."""
+    src = jnp.clip(src.astype(jnp.int32), 0, n_pad - 1)
+    dst = jnp.clip(dst.astype(jnp.int32), 0, n_pad - 1)
+    weight = weight.astype(jnp.float32)
+
+    off0 = -(k_blocks // 2)
+    k = src // block_rows - dst // block_rows - off0
+    in_w = (k >= 0) & (k < k_blocks)
+
+    idx = jnp.where(in_w, (k * n_pad + dst) * block_rows
+                    + (src % block_rows), 0)
+    w_in = jnp.where(in_w, weight, 0.0)
+    # Sorted scatter: unsorted XLA scatter carries pathological compile
+    # times on this backend (module docstring); one argsort fixes it.
+    order = jnp.argsort(idx)
+    band = jnp.zeros(k_blocks * n_pad * block_rows, jnp.float32)
+    band = band.at[idx[order]].add(w_in[order], indices_are_sorted=True)
+
+    w_fb = jnp.where(in_w, 0.0, weight)
+    order_fb = jnp.argsort(dst)
+    return (band.reshape(k_blocks, n_pad, block_rows),
+            src[order_fb], dst[order_fb], w_fb[order_fb])
+
+
+def spmm_plan_device(src: jnp.ndarray, dst: jnp.ndarray,
+                     weight: jnp.ndarray, n_nodes: int,
+                     block_rows: int = 128, window: int = 640) -> SpmmPlan:
+    """`spmm_plan` built entirely on device — no host pull of the edge list
+    and no (N x W)-sized band upload afterwards (the band is ~25-45 MB at
+    10k nodes; the tunnel moves host data at ~25-50 MB/s, so the host
+    round-trip costs more than the forward it feeds).
+
+    Semantics match `spmm_plan` with two static-shape differences: edges
+    with weight 0 (masked / padded) are kept but contribute nothing, and
+    the fallback list is all E edges with in-window weights zeroed rather
+    than a compacted list (zero-weight messages add nothing)."""
+    n_pad = _round_up(max(n_nodes, block_rows), block_rows)
+    k_blocks = max(1, -(-window // block_rows))
+    band, fb_src, fb_dst, fb_w = _plan_device_arrays(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(weight),
+        n_pad, block_rows, k_blocks)
+    return SpmmPlan(n_nodes=n_pad, block_rows=block_rows,
+                    k_blocks=k_blocks, band=band,
+                    fb_src=fb_src, fb_dst=fb_dst, fb_weight=fb_w)
+
+
 def _shifted_views(x: jnp.ndarray, R: int, K: int) -> jnp.ndarray:
     """(K, nb, R, D) stack of block-shifted views of x ((N, D), N = nb·R)."""
     n, d = x.shape

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 from gcn_grabcut_tpu.ops.spmm import (
-    spmm_plan, banded_spmm, spmm_reference,
+    spmm_plan, spmm_plan_device, banded_spmm, spmm_reference,
 )
 
 
@@ -121,6 +121,71 @@ class TestBandedSpmm:
         out = banded_spmm(x, plan, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-4)
+
+
+class TestSpmmPlanDevice:
+    def test_band_matches_host_plan(self):
+        n = 900
+        src, dst, w = _random_banded(n, 4000, 200, seed=11)
+        host = spmm_plan(src, dst, w, n, block_rows=128, window=384)
+        dev = spmm_plan_device(jnp.asarray(src), jnp.asarray(dst),
+                               jnp.asarray(w), n, block_rows=128,
+                               window=384)
+        assert (dev.n_nodes, dev.k_blocks) == (host.n_nodes, host.k_blocks)
+        np.testing.assert_allclose(np.asarray(dev.band), host.band,
+                                   atol=1e-5)
+        # Same out-of-window mass (the device fallback keeps all E slots
+        # with in-window weights zeroed).
+        np.testing.assert_allclose(float(jnp.sum(dev.fb_weight)),
+                                   host.fb_weight.sum(), rtol=1e-5)
+        assert (np.diff(np.asarray(dev.fb_dst)) >= 0).all()
+
+    def test_matches_scatter_oracle(self):
+        n = 700
+        src, dst, w = _random_banded(n, 3000, 150, seed=13)
+        plan = spmm_plan_device(jnp.asarray(src), jnp.asarray(dst),
+                                jnp.asarray(w), n, block_rows=128,
+                                window=512)
+        x = jnp.asarray(np.random.RandomState(4).randn(n, 48), jnp.float32)
+        ref = spmm_reference(x, src, dst, w, n)
+        out = banded_spmm(x, plan, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_masked_edges_contribute_nothing(self):
+        # Zero-weight (masked / padded) edges are kept for static shapes
+        # but must not change the product.
+        n = 256
+        src = np.array([1, 2, 3, 200])
+        dst = np.array([2, 3, 4, 10])
+        w = np.array([1.0, 0.0, 2.0, 0.0], np.float32)
+        plan = spmm_plan_device(jnp.asarray(src), jnp.asarray(dst),
+                                jnp.asarray(w), n, block_rows=128,
+                                window=128)
+        x = jnp.asarray(np.random.RandomState(1).randn(n, 16), jnp.float32)
+        ref = spmm_reference(x, src, dst, w, n)
+        out = banded_spmm(x, plan, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_gcn_plans_device_match_host(self):
+        from gcn_grabcut_tpu.models.large import (
+            build_gcn_plans, build_gcn_plans_device)
+        r = np.random.RandomState(3)
+        n, e = 500, 3000
+        src = r.randint(0, n, e)
+        dst = np.clip(src + r.randint(-80, 80, e), 0, n - 1)
+        mask = (r.rand(e) > 0.2).astype(np.float32)
+        host = build_gcn_plans(src, dst, mask, n, window=384)
+        dev = build_gcn_plans_device(jnp.asarray(src), jnp.asarray(dst),
+                                     jnp.asarray(mask), n, window=384)
+        x = jnp.asarray(r.randn(host[0].n_nodes, 32), jnp.float32)
+        for hp, dp in zip(host, dev):
+            np.testing.assert_allclose(np.asarray(dp.band), hp.band,
+                                       atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(banded_spmm(x, dp, interpret=True)),
+                np.asarray(banded_spmm(x, hp, interpret=True)), atol=1e-4)
 
 
 class TestLargeGraphPath:
