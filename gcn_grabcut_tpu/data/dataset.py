@@ -563,7 +563,12 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
     samples = []
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
     for i in range(n):
-        # --- background: two colour zones with a soft horizon ----------
+        # --- background ------------------------------------------------
+        # Four families, matched to what real photos contain and the
+        # geometric fixtures lack: textured two-zone scenes, near-smooth
+        # gradients (sky/walls), out-of-focus bokeh, and streaky water.
+        bg_kind = ["zones", "zones", "smooth", "bokeh", "water"][
+            rng.randint(5)]
         c_top = rng.randint(40, 220, 3).astype(np.float32)
         c_bot = np.clip(c_top + rng.randint(-90, 90, 3), 20, 235)
         horizon = rng.uniform(0.25, 0.75)
@@ -571,10 +576,45 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         blend = 1.0 / (1.0 + np.exp(-(yy - horizon) / softness))
         img = (c_top[None, None] * (1 - blend[..., None])
                + c_bot[None, None] * blend[..., None])
-        for scale in (8, 32, 128):
-            lowres = rng.randn(size // scale + 2, size // scale + 2, 3)
+        if bg_kind == "zones":
+            for scale in (8, 32, 128):
+                lowres = rng.randn(size // scale + 2, size // scale + 2, 3)
+                img += cv2.resize(lowres, (size, size),
+                                  interpolation=cv2.INTER_CUBIC
+                                  ) * rng.uniform(4, 16)
+        elif bg_kind == "smooth":
+            # Sky / plain-wall statistics: the gradient IS the background;
+            # only faint large-scale tinting, no local texture.
+            lowres = rng.randn(6, 6, 3)
             img += cv2.resize(lowres, (size, size),
-                              interpolation=cv2.INTER_CUBIC) * rng.uniform(4, 16)
+                              interpolation=cv2.INTER_CUBIC
+                              ) * rng.uniform(0.5, 4)
+        elif bg_kind == "bokeh":
+            # Out-of-focus scene: big colour blobs + bright highlight
+            # discs, everything heavily blurred.
+            for _ in range(rng.randint(4, 10)):
+                bx, by = rng.randint(0, size, 2)
+                r_ = rng.randint(size // 8, size // 3)
+                col = np.clip(c_top + rng.randint(-80, 80, 3), 10, 250)
+                cv2.circle(img, (bx, by), r_,
+                           tuple(float(c) for c in col), -1)
+            for _ in range(rng.randint(2, 7)):
+                bx, by = rng.randint(0, size, 2)
+                r_ = rng.randint(size // 40, size // 12)
+                lift = float(rng.uniform(40, 110))
+                cv2.circle(img, (bx, by), r_,
+                           tuple(float(min(c + lift, 255)) for c in
+                                 img[min(by, size - 1),
+                                     min(bx, size - 1)]), -1)
+            img = cv2.GaussianBlur(img, (0, 0), size * rng.uniform(
+                0.02, 0.06))
+        else:  # water: horizontally streaked, vertically smooth
+            lowres = rng.randn(size // 8 + 2, size // 8 + 2, 3)
+            tex = cv2.resize(lowres, (size, size),
+                             interpolation=cv2.INTER_CUBIC
+                             ) * rng.uniform(4, 12)
+            tex = cv2.blur(tex, (max(size // 8, 3), 3))
+            img += tex
         # vignette
         r2 = (yy - 0.5) ** 2 + (xx - 0.5) ** 2
         img *= (1.0 - rng.uniform(0.0, 0.35) * r2)[..., None]
