@@ -246,3 +246,84 @@ class TestInferenceFixedSize:
         mask = cv2.imread(str(tmp_path / "out" / "wide_mask.png"),
                           cv2.IMREAD_GRAYSCALE)
         assert mask.shape == (100, 180)       # restored geometry
+
+
+class TestServeCLI:
+    def test_segment_and_health_endpoints(self, tmp_path, circle_image):
+        """Spin the HTTP server on a tiny model and drive it with two
+        concurrent clients (exercising the micro-batcher), plus /healthz
+        and the error path."""
+        import base64
+        import json
+        import threading
+        import urllib.request
+
+        from gcn_grabcut_tpu.cli.train import main as train_main
+        from gcn_grabcut_tpu.cli.serve import build_server, parse_args
+
+        train_main([
+            "--synthetic", "8", "--epochs", "1", "--batch", "4",
+            "--hidden", "24", "--layers", "2", "--n-segments", "40",
+            "--save-dir", str(tmp_path / "ck"), "--no-bf16",
+        ])
+        args = parse_args([
+            "--checkpoint", str(tmp_path / "ck" / "final_model.msgpack"),
+            "--port", "0", "--size", "96", "--n-segments", "40",
+            "--batch", "2", "--batch-wait-ms", "200", "--no-warmup",
+        ])
+        server, batcher = build_server(args)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            img, _ = circle_image
+            ok, png = cv2.imencode(".png",
+                                   cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            body = png.tobytes()
+
+            results = {}
+
+            def post(key, payload, ctype):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/segment", data=payload,
+                    headers={"Content-Type": ctype})
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    results[key] = json.loads(r.read())
+
+            # two concurrent requests: one raw PNG, one JSON-b64 — the
+            # batcher should coalesce them into one program call.
+            js = json.dumps(
+                {"image_b64": base64.b64encode(body).decode()}).encode()
+            t1 = threading.Thread(target=post, args=("raw", body,
+                                                     "image/png"))
+            t2 = threading.Thread(target=post, args=("json", js,
+                                                     "application/json"))
+            t1.start(); t2.start(); t1.join(); t2.join()
+
+            for key in ("raw", "json"):
+                out = results[key]
+                mask_png = base64.b64decode(out["mask_png_b64"])
+                m = cv2.imdecode(np.frombuffer(mask_png, np.uint8),
+                                 cv2.IMREAD_GRAYSCALE)
+                assert m.shape == img.shape[:2]   # original geometry
+                assert set(np.unique(m)) <= {0, 255}
+                assert 0.0 <= out["fg_ratio"] <= 1.0
+            assert batcher.served == 2
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+                h = json.loads(r.read())
+            assert h["ok"] and h["served"] == 2
+
+            # undecodable image → 400, not a hung batch
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/segment", data=b"not an image",
+                headers={"Content-Type": "image/png"})
+            try:
+                urllib.request.urlopen(req, timeout=60)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            server.shutdown()
+            server.server_close()
