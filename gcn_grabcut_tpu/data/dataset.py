@@ -634,6 +634,19 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
             cv2.ellipse(mask, (cx + dx, cy + dy), (max(a, 4), max(b, 4)),
                         th, 0, 360, 1, -1)
 
+        # fur-like silhouette roughness: jitter the boundary with smoothed
+        # noise so object edges are not always clean conic arcs
+        if rng.rand() < 0.5:
+            fuzz = cv2.GaussianBlur(
+                rng.randn(size, size).astype(np.float32), (0, 0),
+                size / rng.uniform(60, 150))
+            band = cv2.dilate(mask, np.ones((7, 7), np.uint8)) - cv2.erode(
+                mask, np.ones((7, 7), np.uint8))
+            grow = (band > 0) & (fuzz > 0.3)
+            shrink = (band > 0) & (fuzz < -0.3)
+            mask = np.where(grow, 1, np.where(shrink, 0, mask)
+                            ).astype(np.uint8)
+
         if mask.sum() < 400 or mask.sum() > 0.6 * size * size:
             continue
 
@@ -643,9 +656,17 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         sh = cv2.GaussianBlur(sh.astype(np.float32), (0, 0), size / 40)
         img *= (1.0 - 0.4 * np.clip(sh - mask, 0, 1))[..., None]
 
-        # object fill: 1-3 internal colour patches + texture
+        # object fill: 1-3 internal colour patches + texture.  A quarter of
+        # objects are near-achromatic (white/black/grey animals are the
+        # common real case the colour-blob fixture misses).
         obj = np.zeros_like(img)
-        base_col = rng.randint(25, 230, 3).astype(np.float32)
+        if rng.rand() < 0.25:
+            g_ = float(rng.choice([rng.uniform(10, 60),
+                                   rng.uniform(180, 245)]))
+            base_col = np.clip(
+                g_ + rng.uniform(-12, 12, 3), 5, 250).astype(np.float32)
+        else:
+            base_col = rng.randint(25, 230, 3).astype(np.float32)
         patch_lbl = np.zeros((size, size), np.uint8)
         for q in range(rng.randint(1, 4)):
             pm = np.zeros((size, size), np.uint8)
@@ -684,12 +705,60 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
                            dcol[None, None] + rng.randn(size, size, 3) * 8,
                            img)
 
+        # bush/rock-sized clutter: large, textured, colour-distinct blobs
+        # that sit off-centre and are NOT the object (real scenes contain
+        # salient-looking vegetation/furniture; the model must not pick the
+        # biggest textured blob).  Not in bokeh scenes — everything there
+        # is out of focus.
+        if bg_kind != "bokeh" and rng.rand() < 0.6:
+            for _ in range(rng.randint(1, 3)):
+                side = rng.rand()
+                bx = int(size * (rng.uniform(0.0, 0.22) if side < 0.5
+                                 else rng.uniform(0.78, 1.0)))
+                by = int(size * rng.uniform(0.0, 1.0))
+                blob = np.zeros((size, size), np.uint8)
+                r0 = rng.randint(size // 8, size // 4)
+                for _ in range(rng.randint(3, 7)):
+                    dx, dy = rng.randint(-r0, r0, 2)
+                    cv2.circle(blob, (bx + dx, by + dy),
+                               rng.randint(r0 // 2, r0), 1, -1)
+                blob &= (1 - mask)
+                bcol = rng.randint(15, 220, 3).astype(np.float32)
+                btex = bcol[None, None] + rng.randn(size, size, 3) \
+                    * rng.uniform(8, 26)
+                img = np.where(blob[..., None] > 0, btex, img)
+
         # photometrics: gamma + brightness jitter + sensor noise
         g = rng.uniform(0.75, 1.3)
         img = np.clip(img, 0, 255)
         img = 255.0 * (img / 255.0) ** g
         img = np.clip(img * rng.uniform(0.85, 1.15)
-                      + rng.randn(size, size, 3) * 4, 0, 255).astype(np.uint8)
+                      + rng.randn(size, size, 3) * 4, 0, 255)
+
+        # vignette: radial fall-off towards the corners (real lenses and
+        # edited photos darken borders; the border-colour BG prior must not
+        # read that as a distinct background class)
+        if rng.rand() < 0.3:
+            r2 = (yy - 0.5) ** 2 + (xx - 0.5) ** 2
+            img *= (1.0 - rng.uniform(0.25, 0.6)
+                    * np.clip(r2 / 0.5, 0, 1)[..., None])
+
+        # framed photo: a flat dark/light matte border around the image
+        # (common in curated photo sets; the demo's third photo ships one).
+        # Object pixels never reach under the frame, so the mask is zeroed
+        # there too.
+        if rng.rand() < 0.25:
+            t_ = rng.randint(max(2, size // 64), size // 14)
+            fcol = float(rng.choice([rng.uniform(0, 25),
+                                     rng.uniform(225, 255)]))
+            border = np.zeros((size, size), bool)
+            border[:t_], border[-t_:] = True, True
+            border[:, :t_], border[:, -t_:] = True, True
+            img = np.where(border[..., None],
+                           fcol + rng.randn(size, size, 3) * 2, img)
+            mask = np.where(border, 0, mask).astype(np.uint8)
+
+        img = np.clip(img, 0, 255).astype(np.uint8)
 
         if mask.sum() < 200 or (1 - mask).sum() < 200:
             continue

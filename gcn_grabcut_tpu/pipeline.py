@@ -354,10 +354,13 @@ class GCNGrabCutPipeline:
         min_area = jnp.float32(min_area_ratio * H * W)
         cleaned = jax.vmap(
             lambda m: _clean_mask_jit(m, min_area, keep_largest))(masks)
-        # The single host pull of the whole batch's outputs.
-        masks_np = np.asarray(cleaned)
-        trimaps_np = np.asarray(trimaps)
-        segments_np = np.asarray(segments)
+        # The single host pull of the whole batch's outputs, compacted for
+        # the ~40 MB/s tunnel: masks+trimaps ride one uint8 transfer and the
+        # label map drops to uint16 (K << 65536), halving its 8 MB/batch.
+        packed = np.asarray(jnp.stack([cleaned.astype(jnp.uint8), trimaps]))
+        masks_np, trimaps_np = packed[0], packed[1]
+        segments_np = np.asarray(
+            segments.astype(jnp.uint16)).astype(np.int32)
         timing["postprocess"] = time.perf_counter() - t
 
         results = []

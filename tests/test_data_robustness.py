@@ -140,3 +140,24 @@ class TestPhotoSyntheticGenerator:
         # Seeded determinism (cache keys depend on pixel content).
         np.testing.assert_array_equal(a[0]["image"], b[0]["image"])
         np.testing.assert_array_equal(a[0]["gt_mask"], b[0]["gt_mask"])
+
+    def test_framed_samples_have_background_borders(self):
+        """The matte-frame variant must never label frame pixels foreground
+        (the frame overwrites the image, so the mask is zeroed under it)."""
+        from gcn_grabcut_tpu.data.dataset import make_photo_synthetic_dataset
+        samples = make_photo_synthetic_dataset(n=40, size=128, seed=11)
+        saw_frame = False
+        for s in samples:
+            img, mask = s["image"], s["gt_mask"]
+            border = np.concatenate([
+                img[0].ravel(), img[-1].ravel(),
+                img[:, 0].ravel(), img[:, -1].ravel()]).astype(np.float32)
+            # A matte frame is near-flat and near-black/white on every edge.
+            if border.std() < 6 and (border.mean() < 30 or
+                                     border.mean() > 220):
+                saw_frame = True
+                ring = np.zeros(mask.shape, bool)
+                ring[:2], ring[-2:] = True, True
+                ring[:, :2], ring[:, -2:] = True, True
+                assert mask[ring].max() == 0
+        assert saw_frame, "no framed sample generated in 40 draws (p=0.25)"

@@ -80,10 +80,22 @@ def main():
         s = float(logits.sum())
         t = time.perf_counter() - t0
         print(f"apply_large warm (plans rebuilt): {t:.2f}s  sum={s:.1f}")
-    from gcn_grabcut_tpu.models.large import build_gcn_plans
+    from gcn_grabcut_tpu.models.large import (build_gcn_plans,
+                                              build_gcn_plans_device)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        dplans = build_gcn_plans_device(
+            g.graph.edge_src[0], g.graph.edge_dst[0], g.graph.edge_mask[0],
+            g.graph.max_nodes)
+        s = float(dplans[0].band.sum())   # pull-sync (CLAUDE.md: timing)
+        print(f"device plan build: {time.perf_counter() - t0:.2f}s "
+              f"(band mass {s:.0f})")
+    t0 = time.perf_counter()
     plans = build_gcn_plans(
         np.asarray(g.graph.edge_src[0]), np.asarray(g.graph.edge_dst[0]),
         np.asarray(g.graph.edge_mask[0]), g.graph.max_nodes)
+    print(f"host plan build (pull + np.add.at): "
+          f"{time.perf_counter() - t0:.2f}s")
     for _ in range(2):
         t0 = time.perf_counter()
         logits = apply_large(model, vs, g.graph, plans=plans)
