@@ -141,6 +141,12 @@ def ring_scatter_add(mesh: Mesh, n_nodes: int):
 
         def step(s, carry):
             x_rot, acc = carry
+            # Double-buffered schedule: the permute producing the next
+            # step's block is issued BEFORE the bucket-s compute (it only
+            # depends on x_rot, which is live at loop entry), so the ICI
+            # transfer overlaps the local gather/scatter under XLA's
+            # latency-hiding scheduler.
+            x_next = jax.lax.ppermute(x_rot, axis, perm)
             j = (i - s) % n                       # owner of x_rot's block
             src = jax.lax.dynamic_index_in_dim(
                 src_b[0], j, axis=0, keepdims=False)
@@ -151,8 +157,7 @@ def ring_scatter_add(mesh: Mesh, n_nodes: int):
             msgs = (x_rot[jnp.clip(src, 0, block - 1)].astype(jnp.float32)
                     * m[:, None])
             acc = acc.at[jnp.clip(dst, 0, block - 1)].add(msgs)
-            x_rot = jax.lax.ppermute(x_rot, axis, perm)
-            return x_rot, acc
+            return x_next, acc
 
         # Derive the accumulator from x_blk so it inherits the shard_map
         # "varying" annotation (a fresh jnp.zeros would be unvarying and
