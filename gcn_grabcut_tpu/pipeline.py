@@ -14,6 +14,7 @@ reference does (pipeline.py:294-342).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import time
 from typing import Optional
 
@@ -146,6 +147,41 @@ def seed_from_prior(trimap: np.ndarray, graph: RegionGraph,
 def _batch_budget() -> int:
     from .grabcut import BATCH_SOLVE_PIXEL_BUDGET
     return BATCH_SOLVE_PIXEL_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("filter_radius",))
+def _trimap_stage_device(probs, segments, grays, priors, node_masks,
+                         thr_fg, thr_bg, filter_radius: int):
+    """Edge-aware trimap refinement + prior seeding as ONE module-level jit.
+
+    Module-level so repeated `segment_batch` calls hit the jit cache (a
+    per-call closure retraces every time), with the thresholds as traced
+    scalars (no retrace when a caller sweeps them) and only the filter
+    radius static (it changes the box-filter program shape).
+    """
+    def one(p, s, gray):
+        p_bg = jnp.clip(im.guided_filter(
+            gray, p[:, CLASS_BG][s], filter_radius, 1e-3), 0, 1)
+        p_fg = jnp.clip(im.guided_filter(
+            gray, p[:, CLASS_FG][s], filter_radius, 1e-3), 0, 1)
+        tri = jnp.where(p_fg > p_bg, TRIMAP_PROB_FG, TRIMAP_PROB_BG)
+        tri = jnp.where(p_bg >= thr_bg, TRIMAP_BG, tri)
+        tri = jnp.where(p_fg >= thr_fg, TRIMAP_FG, tri)
+        return tri.astype(jnp.uint8)
+
+    trimaps = jax.vmap(one)(probs, segments, grays)
+    return _seed_from_prior_device(trimaps, priors, node_masks, segments)
+
+
+@functools.partial(jax.jit, static_argnames=("keep_largest",))
+def _post_stage_device(masks, trimaps, min_area, keep_largest: bool):
+    """Batched component clean-up + output packing as one jit: returns a
+    (2, B, H, W) uint8 stack (cleaned masks, trimaps) so the batch's
+    outputs ride a single host transfer."""
+    from .ops.connected import _clean_mask_jit
+    cleaned = jax.vmap(
+        lambda m: _clean_mask_jit(m, min_area, keep_largest))(masks)
+    return jnp.stack([cleaned.astype(jnp.uint8), trimaps])
 
 
 def _seed_from_prior_device(trimaps, priors, node_masks, segments,
@@ -290,7 +326,6 @@ class GCNGrabCutPipeline:
         from .core.graph import make_graph_batch
         from .graph_build import build_graph_batch_arrays
         from .grabcut import grabcut_batch_device, run_batch_with_trimaps
-        from .ops.connected import _clean_mask_jit
 
         assert images, "empty batch"
         H, W = images[0].shape[:2]
@@ -323,23 +358,11 @@ class GCNGrabCutPipeline:
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         segments = out["segments"]
 
-        @jax.jit
-        def refine_all(probs, segments, grays):
-            def one(p, s, gray):
-                p_bg = jnp.clip(im.guided_filter(
-                    gray, p[:, CLASS_BG][s], filter_radius, 1e-3), 0, 1)
-                p_fg = jnp.clip(im.guided_filter(
-                    gray, p[:, CLASS_FG][s], filter_radius, 1e-3), 0, 1)
-                tri = jnp.where(p_fg > p_bg, TRIMAP_PROB_FG, TRIMAP_PROB_BG)
-                tri = jnp.where(p_bg >= threshold_bg, TRIMAP_BG, tri)
-                tri = jnp.where(p_fg >= threshold_fg, TRIMAP_FG, tri)
-                return tri.astype(jnp.uint8)
-            return jax.vmap(one)(probs, segments, grays)
-
         grays = im.rgb_to_gray(rgbs) / 255.0
-        trimaps = refine_all(probs, segments, grays)
-        trimaps = _seed_from_prior_device(
-            trimaps, out["prior"], out["node_mask"], segments)
+        trimaps = _trimap_stage_device(
+            probs, segments, grays, out["prior"], out["node_mask"],
+            jnp.float32(threshold_fg), jnp.float32(threshold_bg),
+            filter_radius)
         timing["gcn_inference"] = time.perf_counter() - t
 
         t = time.perf_counter()
@@ -352,12 +375,11 @@ class GCNGrabCutPipeline:
 
         t = time.perf_counter()
         min_area = jnp.float32(min_area_ratio * H * W)
-        cleaned = jax.vmap(
-            lambda m: _clean_mask_jit(m, min_area, keep_largest))(masks)
         # The single host pull of the whole batch's outputs, compacted for
         # the ~40 MB/s tunnel: masks+trimaps ride one uint8 transfer and the
         # label map drops to uint16 (K << 65536), halving its 8 MB/batch.
-        packed = np.asarray(jnp.stack([cleaned.astype(jnp.uint8), trimaps]))
+        packed = np.asarray(
+            _post_stage_device(masks, trimaps, min_area, keep_largest))
         masks_np, trimaps_np = packed[0], packed[1]
         segments_np = np.asarray(
             segments.astype(jnp.uint16)).astype(np.int32)
