@@ -7,6 +7,7 @@ device-side gather.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -50,6 +51,16 @@ def init_model(model: nn.Module, rng: jax.Array, example: GraphBatch) -> Any:
     return model.init({"params": rng}, example, train=False)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _apply_eval_jit(model: nn.Module, variables: Any, graph: GraphBatch):
+    """Cached-jit eval forward (flax modules are frozen dataclasses, so the
+    model itself is a valid static argument).  Without this the pipeline's
+    forward dispatched op by op — at ~0.5-4 ms per dispatch on the
+    tunnel-attached chip that overhead was ~1000x the MXU compute
+    (PERF.md: the slope-timed forward is 0.1-0.25 ms)."""
+    return model.apply(variables, graph, train=False)
+
+
 def apply_model(model: nn.Module, variables: Any, graph: GraphBatch,
                 train: bool = False, dropout_rng: Optional[jax.Array] = None):
     """Forward pass.  In training mode returns (logits, new_batch_stats)."""
@@ -59,7 +70,7 @@ def apply_model(model: nn.Module, variables: Any, graph: GraphBatch,
             variables, graph, train=True, rngs=rngs,
             mutable=["batch_stats"])
         return logits, updates
-    return model.apply(variables, graph, train=False)
+    return _apply_eval_jit(model, variables, graph)
 
 
 def predict_probs(model: nn.Module, variables: Any, graph: GraphBatch
