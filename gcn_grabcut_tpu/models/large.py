@@ -108,6 +108,17 @@ def spmm_aggregators(gcn_plan: SpmmPlan, mean_plan: SpmmPlan,
     return wrap(gcn_plan), wrap(mean_plan)
 
 
+@functools.partial(jax.jit, static_argnames=("model", "interpret"))
+def _apply_large_jit(model, variables, g, gcn_plan, mean_plan,
+                     interpret: bool):
+    """One cached jit for the whole SpMM-backed forward (SpmmPlan is a
+    pytree; the flax module is hashable static).  Eager apply paid
+    ~0.5-4 ms of tunnel dispatch per primitive — hundreds of primitives
+    per forward."""
+    aggs = spmm_aggregators(gcn_plan, mean_plan, interpret=interpret)
+    return model.apply(variables, g, train=False, aggregators=aggs)
+
+
 def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
                 window: int = 512, plans=None):
     """Forward a single large graph (G=1) through `model` with SpMM
@@ -123,5 +134,5 @@ def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
     if plans is None:
         plans = build_gcn_plans_device(
             g.edge_src[0], g.edge_dst[0], g.edge_mask[0], n, window=window)
-    aggs = spmm_aggregators(plans[0], plans[1], interpret=interpret)
-    return model.apply(variables, g, train=False, aggregators=aggs)
+    return _apply_large_jit(model, variables, g, plans[0], plans[1],
+                            interpret)

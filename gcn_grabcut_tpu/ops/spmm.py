@@ -50,26 +50,31 @@ compile-time constant of the graph.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-@dataclasses.dataclass
+@struct.dataclass
 class SpmmPlan:
-    """Host-compiled banded-dense adjacency (static shapes)."""
-    n_nodes: int             # padded to a multiple of block_rows
-    block_rows: int          # R
-    k_blocks: int            # K source sub-blocks (window W = K·R)
-    band: np.ndarray         # (K, n_nodes, R) float32 banded-dense weights
-    fb_src: np.ndarray       # (n_fallback,) int32 out-of-window edges
-    fb_dst: np.ndarray       # (n_fallback,)
-    fb_weight: np.ndarray    # (n_fallback,)
+    """Compiled banded-dense adjacency (static shapes).
+
+    A pytree: the band/fallback arrays are leaves, the layout ints static
+    aux data — so a plan can be passed straight through `jax.jit`
+    boundaries (models/large.py jits the whole SpMM-backed forward with
+    the plans as arguments)."""
+    n_nodes: int = struct.field(pytree_node=False)   # padded to ÷block_rows
+    block_rows: int = struct.field(pytree_node=False)  # R
+    k_blocks: int = struct.field(pytree_node=False)  # K sub-blocks (W = K·R)
+    band: np.ndarray = None       # (K, n_nodes, R) float32 banded weights
+    fb_src: np.ndarray = None     # (n_fallback,) int32 out-of-window edges
+    fb_dst: np.ndarray = None     # (n_fallback,)
+    fb_weight: np.ndarray = None  # (n_fallback,)
 
     @property
     def n_blocks(self) -> int:
