@@ -246,8 +246,18 @@ def grabcut_batch_device(rgb: jnp.ndarray, trimaps: jnp.ndarray,
     stays one-sided keep their own labelling.
     """
     config = config or GrabCutConfig()
-    trimaps = trimaps.astype(jnp.uint8)
+    return _grabcut_batch_jit(rgb, trimaps.astype(jnp.uint8),
+                              jnp.float32(config.gamma), config.n_iter,
+                              config.n_components, config.color_space)
 
+
+@functools.partial(jax.jit, static_argnames=("n_iter", "n_components",
+                                             "color_space"))
+def _grabcut_batch_jit(rgb, trimaps, gamma, n_iter: int, n_components: int,
+                       color_space: str):
+    """Repair + preprocessing + k-means seeding + the fused iterated solve
+    as ONE program: the eager stitching between the jits dispatched dozens
+    of primitives per batch over the tunnel."""
     def repair(t):
         has_fg = jnp.any(t == TRIMAP_FG)
         t = jnp.where(~has_fg & (t == TRIMAP_PROB_FG),
@@ -260,8 +270,8 @@ def grabcut_batch_device(rgb: jnp.ndarray, trimaps: jnp.ndarray,
 
     trimaps, degenerate = jax.vmap(repair)(trimaps)
 
-    pix = preprocess_device(rgb, config.color_space)
-    k = config.n_components
+    pix = preprocess_device(rgb, color_space)
+    k = n_components
     fg_sel = (trimaps == TRIMAP_FG) | (trimaps == TRIMAP_PROB_FG)
     fg_comp = jax.vmap(lambda p, s: gmm_ops.kmeans(p, s, k, seed=0))(
         pix, fg_sel.astype(jnp.float32))
@@ -269,8 +279,7 @@ def grabcut_batch_device(rgb: jnp.ndarray, trimaps: jnp.ndarray,
         pix, 1.0 - fg_sel.astype(jnp.float32))
     comp0 = jnp.where(fg_sel, fg_comp, bg_comp)
 
-    masks, _ = _grabcut_solve_batch(
-        pix, trimaps, comp0, config.gamma, config.n_iter, k)
+    masks, _ = _grabcut_solve_batch(pix, trimaps, comp0, gamma, n_iter, k)
     solved = ((masks == TRIMAP_FG)
               | (masks == TRIMAP_PROB_FG)).astype(jnp.uint8)
     own = fg_sel.astype(jnp.uint8)

@@ -187,11 +187,22 @@ def build_graph_batch_arrays(rgbs: jnp.ndarray,
     pulls.  The batched pipeline composes this with the model forward and
     GrabCut without leaving the device."""
     cfg = config or SuperpixelGraphConfig()
+    return _build_graph_batch_jit(
+        rgbs, cfg.n_segments, cfg.compactness, cfg.sigma, cfg.connectivity,
+        cfg.n_nonlocal, cfg.slic_iters)
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_segments", "compactness", "sigma", "connectivity",
+                     "n_nonlocal", "slic_iters"))
+def _build_graph_batch_jit(rgbs, n_segments, compactness, sigma,
+                           connectivity, n_nonlocal, slic_iters):
+    # One cached jit around the vmap: an eager vmap-of-jit re-dispatches
+    # every primitive per call (~0.5-4 ms each over the tunnel).
     def one(rgb):
-        return _build_graph_arrays(
-            rgb, cfg.n_segments, cfg.compactness, cfg.sigma,
-            cfg.connectivity, cfg.n_nonlocal, cfg.slic_iters)
+        return _build_graph_arrays(rgb, n_segments, compactness, sigma,
+                                   connectivity, n_nonlocal, slic_iters)
 
     return jax.vmap(one)(rgbs)
 
