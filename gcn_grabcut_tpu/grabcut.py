@@ -409,8 +409,13 @@ class GrabCut:
         if self.mask is None:
             raise RuntimeError(
                 "Call run_with_bbox or run_with_trimap first.")
-        self.mask, self._comp = self._solve(
+        mask, self._comp = self._solve(
             self._proc, self.mask, self._comp, extra_iter)
+        # One d2h pull: every downstream helper (_binary, snapshots,
+        # overlays) reads this host array instead of re-pulling the device
+        # buffer (each fresh-shape pull pays multi-second transfer setup
+        # over the tunnel).
+        self.mask = np.asarray(mask)
         self._snapshot("refinement")
         return self._binary()
 
@@ -424,8 +429,10 @@ class GrabCut:
         bg_comp = gmm_ops.kmeans(pix, 1.0 - fg_sel.astype(jnp.float32), k,
                                  seed=1)
         comp0 = jnp.where(fg_sel, fg_comp, bg_comp)
-        self.mask, self._comp = self._solve(
+        mask, self._comp = self._solve(
             pix, trimap, comp0, self.config.n_iter)
+        # One d2h pull; see refine() for why downstream stays host-side.
+        self.mask = np.asarray(mask)
         return self._binary()
 
     # ------------------------------------------------------------------

@@ -98,9 +98,16 @@ def refine_trimap(probs: np.ndarray, segments: np.ndarray, image: np.ndarray,
 
     Boundaries land on intensity edges instead of superpixel borders.
     """
-    probs = jnp.asarray(probs)
-    segments = jnp.asarray(segments)
-    gray = im.rgb_to_gray(jnp.asarray(image, jnp.float32)) / 255.0
+    return np.asarray(_refine_trimap_jit(
+        jnp.asarray(probs), jnp.asarray(segments),
+        jnp.asarray(image, jnp.float32), jnp.float32(threshold_fg),
+        jnp.float32(threshold_bg), radius, eps))
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "eps"))
+def _refine_trimap_jit(probs, segments, image, threshold_fg, threshold_bg,
+                       radius: int, eps: float):
+    gray = im.rgb_to_gray(image) / 255.0
 
     p_bg = project_to_pixels(probs[:, CLASS_BG].astype(jnp.float32), segments)
     p_fg = project_to_pixels(probs[:, CLASS_FG].astype(jnp.float32), segments)
@@ -111,7 +118,7 @@ def refine_trimap(probs: np.ndarray, segments: np.ndarray, image: np.ndarray,
     trimap = jnp.where(p_fg > p_bg, TRIMAP_PROB_FG, TRIMAP_PROB_BG)
     trimap = jnp.where(p_bg >= threshold_bg, TRIMAP_BG, trimap)
     trimap = jnp.where(p_fg >= threshold_fg, TRIMAP_FG, trimap)
-    return np.asarray(trimap).astype(np.uint8)
+    return trimap.astype(jnp.uint8)
 
 
 def seed_from_prior(trimap: np.ndarray, graph: RegionGraph,

@@ -161,6 +161,33 @@ class TestBatchedPipeline:
         assert agreement > 0.98
         assert batch[1].binary_mask.shape == img.shape[:2]
 
+    def test_stage_jits_do_not_retrace(self, circle_image):
+        """The batched stages are module-level cached jits: repeated
+        segment_batch calls — including new threshold values, which enter
+        as traced scalars — must not add jit cache entries (a per-call
+        closure used to retrace/relower every batch)."""
+        import jax
+        from gcn_grabcut_tpu import GrabCutConfig
+        from gcn_grabcut_tpu.pipeline import (_trimap_stage_device,
+                                              _post_stage_device)
+        from gcn_grabcut_tpu.grabcut import _grabcut_batch_jit
+        from gcn_grabcut_tpu.graph_build import _build_graph_batch_jit
+
+        img, _ = circle_image
+        imgs = [img, img[::-1].copy()]
+        model = build_model("resgcn", hidden_channels=24, n_layers=2)
+        g = build_graph(imgs[0], SuperpixelGraphConfig(n_segments=60)).graph
+        vs = init_model(model, jax.random.PRNGKey(0), g)
+        pipe = GCNGrabCutPipeline(model, vs,
+                                  SuperpixelGraphConfig(n_segments=60),
+                                  GrabCutConfig(n_iter=1))
+        pipe.segment_batch(imgs, threshold_fg=0.6, threshold_bg=0.6)
+        jits = (_trimap_stage_device, _post_stage_device,
+                _grabcut_batch_jit, _build_graph_batch_jit)
+        sizes = [f._cache_size() for f in jits]
+        pipe.segment_batch(imgs, threshold_fg=0.7, threshold_bg=0.55)
+        assert [f._cache_size() for f in jits] == sizes
+
     def test_hard_synthetic_generator(self):
         from gcn_grabcut_tpu.data.dataset import make_hard_synthetic_dataset
         s = make_hard_synthetic_dataset(n=4, size=96, seed=0)
