@@ -319,7 +319,8 @@ class GCNGrabCutPipeline:
                       threshold_fg: float = 0.55, threshold_bg: float = 0.55,
                       min_area_ratio: float = 0.002,
                       keep_largest: bool = False,
-                      filter_radius: int = 8) -> list[SegmentationResult]:
+                      filter_radius: int = 8,
+                      sync_timing: bool = False) -> list[SegmentationResult]:
         """Segment a batch of same-size images, device-resident end to end.
 
         One vmapped fused graph build, one stacked (B, N, F) model forward
@@ -351,6 +352,14 @@ class GCNGrabCutPipeline:
                 filter_radius=filter_radius) for im_ in images]
         timing: dict = {}
 
+        # Stages dispatch asynchronously and only the final packed pull
+        # synchronises, so the per-stage wall clocks below measure dispatch,
+        # not device time, unless `sync_timing` forces a (tiny scalar) pull
+        # at each boundary — the accurate-breakdown mode the reference's
+        # per-stage printout corresponds to (reference pipeline.py:294-342).
+        def _sync(x):
+            if sync_timing:
+                float(jnp.ravel(x)[0])   # block until the stage's work ran
         t = time.perf_counter()
         rgbs = jnp.asarray(np.stack(images)).astype(jnp.float32)
         out = build_graph_batch_arrays(rgbs, self.sp_config)
@@ -358,6 +367,7 @@ class GCNGrabCutPipeline:
             x=out["x"], edge_src=out["edge_src"], edge_dst=out["edge_dst"],
             edge_attr=out["edge_attr"], node_mask=out["node_mask"],
             edge_mask=out["edge_mask"], node_area=out["node_area"])
+        _sync(out["x"])
         timing["graph_build"] = time.perf_counter() - t
 
         t = time.perf_counter()
@@ -370,6 +380,7 @@ class GCNGrabCutPipeline:
             probs, segments, grays, out["prior"], out["node_mask"],
             jnp.float32(threshold_fg), jnp.float32(threshold_bg),
             filter_radius)
+        _sync(trimaps)
         timing["gcn_inference"] = time.perf_counter() - t
 
         t = time.perf_counter()
@@ -378,6 +389,7 @@ class GCNGrabCutPipeline:
         else:
             masks = jnp.asarray(run_batch_with_trimaps(
                 np.stack(images), np.asarray(trimaps), self.gc_config))
+        _sync(masks)
         timing["grabcut"] = time.perf_counter() - t
 
         t = time.perf_counter()

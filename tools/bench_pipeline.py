@@ -66,14 +66,21 @@ def main():
     for rep in range(args.reps):
         chunk = imgs[(rep % 3) * args.batch:(rep % 3 + 1) * args.batch]
         t0 = time.perf_counter()
-        rs = pipe.segment_batch(chunk, threshold_fg=0.65,
-                                threshold_bg=0.65, filter_radius=4)
+        pipe.segment_batch(chunk, threshold_fg=0.65,
+                           threshold_bg=0.65, filter_radius=4)
         dt = time.perf_counter() - t0
-        stages = " ".join(f"{k}={v:.2f}" for k, v in rs[0].timing.items())
         ips = args.batch / dt
-        print(f"warm batch {rep}: {dt:.2f}s  ({ips:.2f} img/s)  {stages}")
+        print(f"warm batch {rep}: {dt:.2f}s  ({ips:.2f} img/s)")
         best = ips if best is None else max(best, ips)
     print(f"best: {best:.2f} img/s")
+
+    # One per-stage breakdown with stage-boundary syncs (slower overall —
+    # the syncs serialise the stages — but each number is real device time).
+    rs = pipe.segment_batch(imgs[:args.batch], threshold_fg=0.65,
+                            threshold_bg=0.65, filter_radius=4,
+                            sync_timing=True)
+    stages = " ".join(f"{k}={v:.2f}" for k, v in rs[0].timing.items())
+    print(f"synced stage breakdown: {stages}")
 
 
 if __name__ == "__main__":
