@@ -216,7 +216,9 @@ def build_graph(image: np.ndarray,
     this framework standardises on RGB at the API boundary).
     """
     cfg = config or SuperpixelGraphConfig()
-    rgb = jnp.asarray(image, jnp.float32)
+    # Upload in the image's native dtype (uint8 for photos) and cast on
+    # device — a host-side float32 conversion quadruples the h2d bytes.
+    rgb = jnp.asarray(image).astype(jnp.float32)
     out = _build_graph_arrays(
         rgb, cfg.n_segments, cfg.compactness, cfg.sigma, cfg.connectivity,
         cfg.n_nonlocal, cfg.slic_iters)
@@ -232,7 +234,9 @@ def build_graph(image: np.ndarray,
         node_area=out["node_area"][None],
     )
     return RegionGraph(
-        segments=np.asarray(out["segments"], np.int32),
+        # K << 65536: pull the label map as uint16 (halves the d2h bytes).
+        segments=np.asarray(
+            out["segments"].astype(jnp.uint16)).astype(np.int32),
         graph=batch,
         centroids=np.asarray(out["centroids"]),
         prior=np.asarray(out["prior"]),

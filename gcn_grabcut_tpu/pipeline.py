@@ -98,16 +98,17 @@ def refine_trimap(probs: np.ndarray, segments: np.ndarray, image: np.ndarray,
 
     Boundaries land on intensity edges instead of superpixel borders.
     """
+    # Upload the image in its native uint8 (the float cast happens on
+    # device): a host-side float32 conversion quadruples the h2d bytes.
     return np.asarray(_refine_trimap_jit(
-        jnp.asarray(probs), jnp.asarray(segments),
-        jnp.asarray(image, jnp.float32), jnp.float32(threshold_fg),
-        jnp.float32(threshold_bg), radius, eps))
+        jnp.asarray(probs), jnp.asarray(segments), jnp.asarray(image),
+        jnp.float32(threshold_fg), jnp.float32(threshold_bg), radius, eps))
 
 
 @functools.partial(jax.jit, static_argnames=("radius", "eps"))
 def _refine_trimap_jit(probs, segments, image, threshold_fg, threshold_bg,
                        radius: int, eps: float):
-    gray = im.rgb_to_gray(image) / 255.0
+    gray = im.rgb_to_gray(image.astype(jnp.float32)) / 255.0
 
     p_bg = project_to_pixels(probs[:, CLASS_BG].astype(jnp.float32), segments)
     p_fg = project_to_pixels(probs[:, CLASS_FG].astype(jnp.float32), segments)
