@@ -32,8 +32,8 @@ import numpy as np
 from .core.graph import TRIMAP_BG, TRIMAP_FG, TRIMAP_PROB_BG, TRIMAP_PROB_FG
 from .ops import gmm as gmm_ops
 from .ops import image as im
-from .ops.maxflow import (grid_mincut, grid_mincut_stateful,
-                          _fresh_residuals, OFFSETS_8)
+from .ops.maxflow import (grid_mincut, grid_mincut_multilevel,
+                          grid_mincut_stateful, _fresh_residuals, OFFSETS_8)
 
 
 @dataclasses.dataclass
@@ -93,11 +93,16 @@ def _pairwise_caps(pix: jnp.ndarray, gamma: float):
 
 
 @functools.partial(jax.jit, static_argnames=("n_iter", "n_components",
-                                             "from_state"))
+                                             "from_state", "ml_levels"))
 def _grabcut_solve(pix: jnp.ndarray, mask: jnp.ndarray, comp0: jnp.ndarray,
                    gamma: float, n_iter: int, n_components: int,
-                   from_state: bool = False):
-    """The fused iterated optimisation.  mask is uint8 OpenCV labels."""
+                   from_state: bool = False, ml_levels: int = 0):
+    """The fused iterated optimisation.  mask is uint8 OpenCV labels.
+
+    ml_levels > 0 solves each iteration's min-cut with the coarse-to-fine
+    banded solver (ops.maxflow.grid_mincut_multilevel) instead of the exact
+    flow-recycled solve — the large-image configuration, where the exact
+    solve's sweep count grows with the image diameter."""
     pix = pix.astype(jnp.float32)
     caps, _ = _pairwise_caps(pix, gamma)
     lam = 9.0 * gamma
@@ -133,10 +138,17 @@ def _grabcut_solve(pix: jnp.ndarray, mask: jnp.ndarray, comp0: jnp.ndarray,
         # 4. min-cut with flow recycling (Kohli-Torr dynamic graph cuts):
         # neighbour capacities are constant across iterations, so the
         # previous flow stays valid — add the terminal delta to the carried
-        # excess and resume from the carried residuals.
-        e0 = e_carry + (E_t - E_prev)
-        fg_side, e_out, r_fwd, r_bwd = grid_mincut_stateful(
-            e0, r_fwd, r_bwd, connectivity=8)
+        # excess and resume from the carried residuals.  The multilevel
+        # path re-solves banded each iteration instead (its fine solves are
+        # band-limited, so recycling buys little there).
+        if ml_levels > 0:
+            fg_side = grid_mincut_multilevel(E_t, caps, connectivity=8,
+                                             levels=ml_levels)
+            e_out = e_carry
+        else:
+            e0 = e_carry + (E_t - E_prev)
+            fg_side, e_out, r_fwd, r_bwd = grid_mincut_stateful(
+                e0, r_fwd, r_bwd, connectivity=8)
         probable = (mask == TRIMAP_PROB_BG) | (mask == TRIMAP_PROB_FG)
         new_mask = jnp.where(
             probable,
@@ -150,7 +162,10 @@ def _grabcut_solve(pix: jnp.ndarray, mask: jnp.ndarray, comp0: jnp.ndarray,
     fg_gmm0 = gmm_ops.fit_gmm(pix, fg_sel0, comp0, n_components)
     bg_gmm0 = gmm_ops.fit_gmm(pix, bg_sel0, comp0, n_components)
 
-    r_fwd0, r_bwd0 = _fresh_residuals(caps, OFFSETS_8)
+    if ml_levels > 0:
+        r_fwd0, r_bwd0 = (), ()   # banded path carries no residual state
+    else:
+        r_fwd0, r_bwd0 = _fresh_residuals(caps, OFFSETS_8)
     zeros = jnp.zeros_like(pix[..., 0])
     mask, comp, _, _, _, _, _, _ = jax.lax.fori_loop(
         0, n_iter, body, (mask, comp0, fg_gmm0, bg_gmm0, zeros, zeros,

@@ -245,6 +245,128 @@ def grid_mincut(excess: jnp.ndarray, caps: tuple,
     return fg
 
 
+def _coarsen_problem(excess: jnp.ndarray, caps: tuple, connectivity: int):
+    """Contract 2x2 pixel blocks into one node (exact graph contraction).
+
+    Terminal arcs sum (block excess = sum of member excesses); each coarse
+    neighbour arc is the sum of every fine arc crossing the block boundary,
+    assigned by parity so each fine arc lands in exactly one coarse arc
+    (intra-block arcs vanish).  The coarse min-cut is the optimal
+    block-aligned cut of the fine problem — the coarse stage of a
+    Lombaert-style banded ("multilevel") graph cut.
+    """
+    H, W = excess.shape
+    Hp, Wp = H + (H & 1), W + (W & 1)
+
+    def pad(a):
+        return jnp.pad(a, ((0, Hp - H), (0, Wp - W)))
+
+    e = pad(excess.astype(jnp.float32))
+    offsets = OFFSETS_8 if connectivity == 8 else OFFSETS_4
+    c = [pad(_zero_border(x.astype(jnp.float32), dy, dx))
+         for x, (dy, dx) in zip(caps, offsets)]
+    e_c = e.reshape(Hp // 2, 2, Wp // 2, 2).sum(axis=(1, 3))
+
+    def s(a, oy, ox):
+        return a[oy::2, ox::2]
+
+    # Fine-arc parity bookkeeping (offsets order: W, N, NW, NE):
+    # W arcs cross at even x; N arcs cross at even y; NW/NE split by parity.
+    c_w = s(c[0], 0, 0) + s(c[0], 1, 0)
+    c_n = s(c[1], 0, 0) + s(c[1], 0, 1)
+    if connectivity == 4:
+        return e_c, (c_w, c_n)
+    # NW at (odd y, even x) crosses W-wards; at (even y, odd x) N-wards;
+    # at (even, even) diagonally; (odd, odd) is intra-block.
+    c_w = c_w + s(c[2], 1, 0)
+    c_n = c_n + s(c[2], 0, 1) + s(c[3], 0, 0)
+    # NE at (odd y, odd x) connects block (Y,X) to (Y,X+1): shift one
+    # column right so it lands on the receiving coarse W arc.
+    ne_shift = jnp.pad(c[3], ((0, 0), (1, 0)))[:, :-1]
+    c_w = c_w + s(ne_shift, 1, 0)
+    c_nw = s(c[2], 0, 0)
+    c_ne = s(c[3], 0, 1)
+    return e_c, (c_w, c_n, c_nw, c_ne)
+
+
+def _boundary_band(fg: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """True within `radius` (Chebyshev) of a label boundary."""
+    f = fg.astype(jnp.float32)
+    k = 2 * radius + 1
+    mx = jax.lax.reduce_window(f, -jnp.inf, jax.lax.max, (k, k), (1, 1),
+                               "SAME")
+    mn = jax.lax.reduce_window(f, jnp.inf, jax.lax.min, (k, k), (1, 1),
+                               "SAME")
+    return mx > mn
+
+
+def _fold_clamps(excess, caps, band, fg_up, offsets):
+    """Restrict the problem to the band: clamped (out-of-band) pixels are
+    contracted into the terminals.  An arc from a band pixel to a clamped-FG
+    neighbour becomes extra source capacity (+cap to the excess); to a
+    clamped-BG neighbour, extra sink capacity (−cap).  Arcs not incident to
+    the band are zeroed, so out-of-band pixels are inert isolated nodes and
+    every push/relabel sweep's active set lives inside the band."""
+    e = jnp.where(band, excess, 0.0)
+    folded = []
+    for (dy, dx), c in zip(offsets, caps):
+        c = _zero_border(c.astype(jnp.float32), dy, dx)
+        band_q = _shift_from(band, dy, dx, False)
+        fg_q = _shift_from(fg_up, dy, dx, False)
+        # p in band, q clamped → terminal contribution at p.
+        e = e + jnp.where(band & ~band_q, jnp.where(fg_q, c, -c), 0.0)
+        # p clamped, q in band → contribution at q (scatter c from p to q).
+        contrib = jnp.where(~band & band_q, jnp.where(fg_up, c, -c), 0.0)
+        e = e + _shift_to(contrib, dy, dx, 0.0)
+        folded.append(jnp.where(band & band_q, c, 0.0))
+    return e, tuple(folded)
+
+
+def grid_mincut_multilevel(excess: jnp.ndarray, caps: tuple,
+                           connectivity: int = 8, levels: int = 1,
+                           band_radius: int = 8,
+                           max_outer: int = 400,
+                           sweeps_per_round: int = 48,
+                           unroll: int = 4) -> jnp.ndarray:
+    """Coarse-to-fine banded min-cut (Lombaert et al. 2005 style).
+
+    Recursively contracts 2x2 blocks `levels` times, solves the coarsest
+    problem exactly, then at each finer level re-solves only a band of
+    `band_radius` pixels around the upsampled cut, with everything outside
+    the band folded into the terminals (see `_fold_clamps`).  Convergence
+    of each banded solve is governed by the band width, not the image
+    diameter, so large images cost a small multiple of the band area.
+
+    Approximation: the result is the optimal cut among those within
+    `band_radius` of the coarse cut — high-resolution deviations further
+    than the band from the block-aligned optimum are not recovered.  For
+    GrabCut energies (smooth capacities from natural images) agreement with
+    the exact cut is typically >99% of pixels; use `grid_mincut` when
+    exactness is required.
+    """
+    if levels <= 0:
+        return grid_mincut(excess, caps, connectivity=connectivity,
+                           max_outer=max_outer,
+                           sweeps_per_round=sweeps_per_round, unroll=unroll)
+    H, W = excess.shape
+    offsets = OFFSETS_8 if connectivity == 8 else OFFSETS_4
+    e_c, caps_c = _coarsen_problem(excess, caps, connectivity)
+    fg_c = grid_mincut_multilevel(
+        e_c, caps_c, connectivity=connectivity, levels=levels - 1,
+        band_radius=band_radius, max_outer=max_outer,
+        sweeps_per_round=sweeps_per_round, unroll=unroll)
+    fg_up = jnp.repeat(jnp.repeat(fg_c, 2, axis=0), 2, axis=1)[:H, :W]
+    band = _boundary_band(fg_up, band_radius)
+    e_b, caps_b = _fold_clamps(excess.astype(jnp.float32), caps, band,
+                               fg_up, offsets)
+    # The banded problem's residual diameter is O(band perimeter); the
+    # default relabel cap stays (it early-exits at the BFS fixpoint).
+    fg_b = grid_mincut(e_b, caps_b, connectivity=connectivity,
+                       max_outer=max_outer,
+                       sweeps_per_round=sweeps_per_round, unroll=unroll)
+    return jnp.where(band, fg_b, fg_up)
+
+
 def grid_mincut_stateful(excess: jnp.ndarray, r_fwd: tuple, r_bwd: tuple,
                          connectivity: int = 8, max_outer: int = 400,
                          sweeps_per_round: int = 48,

@@ -207,6 +207,97 @@ def _cut_cost_vec(excess, caps, lab):
     return cost
 
 
+class TestMultilevelMinCut:
+    @staticmethod
+    def _smooth_instance(H, W, seed, gamma=50.0):
+        """GrabCut-shaped energy: smooth blob + noise capacities."""
+        r = np.random.RandomState(seed)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        cy = H * 0.5 + r.randn() * H * 0.1
+        cx = W * 0.5 + r.randn() * W * 0.1
+        d = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+        img = np.tanh((H * 0.25 - d) / (H * 0.05)) + r.randn(H, W) * 0.3
+        caps = []
+        for dy, dx in OFFSETS_8:
+            sh = np.roll(img, (-dy, -dx), axis=(0, 1))
+            dist = np.sqrt(dy * dy + dx * dx)
+            caps.append(((gamma / dist)
+                         * np.exp(-4.0 * (img - sh) ** 2)).astype(np.float32))
+        lam = 9 * gamma
+        excess = np.clip(img * 60 + r.randn(H, W) * 20,
+                         -lam, lam).astype(np.float32)
+        return excess, tuple(caps)
+
+    @pytest.mark.parametrize("levels", [1, 2])
+    def test_near_exact_on_grabcut_energies(self, levels):
+        """The banded coarse-to-fine cut must agree with the exact solve on
+        smooth (natural-image-like) energies: ≥99.5% pixel agreement and
+        cut cost within 1%."""
+        from gcn_grabcut_tpu.ops.maxflow import grid_mincut_multilevel
+        for seed in range(3):
+            excess, caps = self._smooth_instance(96, 96, seed)
+            ej = jnp.asarray(excess)
+            cj = tuple(map(jnp.asarray, caps))
+            fg0 = np.asarray(grid_mincut(ej, cj, connectivity=8))
+            fgm = np.asarray(grid_mincut_multilevel(
+                ej, cj, connectivity=8, levels=levels))
+            assert (fg0 == fgm).mean() > 0.995
+            c0 = _cut_cost_vec(excess, caps, fg0.astype(int))
+            cm = _cut_cost_vec(excess, caps, fgm.astype(int))
+            assert cm <= c0 * 1.01 + 1e-6
+
+    def test_coarsening_preserves_total_mass(self):
+        """The 2x2 contraction is exact: block excess sums, and every fine
+        boundary-crossing arc lands in exactly one coarse arc."""
+        from gcn_grabcut_tpu.ops.maxflow import _coarsen_problem
+        r = np.random.RandomState(0)
+        H = W = 10
+        excess = r.randn(H, W).astype(np.float32)
+        caps = tuple(r.rand(H, W).astype(np.float32) for _ in OFFSETS_8)
+        e_c, caps_c = _coarsen_problem(
+            jnp.asarray(excess), tuple(map(jnp.asarray, caps)), 8)
+        assert np.isclose(float(jnp.sum(e_c)), excess.sum(), atol=1e-4)
+        # total coarse arc mass == total fine crossing-arc mass
+        crossing = 0.0
+        for c, (dy, dx) in zip(caps, OFFSETS_8):
+            c = np.array(c)
+            if dy == -1:
+                c[0, :] = 0
+            if dx == -1:
+                c[:, 0] = 0
+            if dx == 1:
+                c[:, -1] = 0
+            for y in range(H):
+                for x in range(W):
+                    qy, qx = y + dy, x + dx
+                    if 0 <= qy < H and 0 <= qx < W and \
+                            (y // 2, x // 2) != (qy // 2, qx // 2):
+                        crossing += c[y, x]
+        coarse_mass = sum(float(jnp.sum(c)) for c in caps_c)
+        assert np.isclose(coarse_mass, crossing, rtol=1e-5)
+
+    def test_trivial_uniform_sides(self):
+        from gcn_grabcut_tpu.ops.maxflow import grid_mincut_multilevel
+        caps = tuple(jnp.ones((16, 16)) for _ in OFFSETS_4)
+        fg = np.asarray(grid_mincut_multilevel(
+            jnp.full((16, 16), 5.0), caps, connectivity=4, levels=2))
+        assert fg.all()
+        fg = np.asarray(grid_mincut_multilevel(
+            jnp.full((16, 16), -5.0), caps, connectivity=4, levels=2))
+        assert not fg.any()
+
+    def test_odd_shapes(self):
+        from gcn_grabcut_tpu.ops.maxflow import grid_mincut_multilevel
+        excess, caps = self._smooth_instance(95, 97, 1)
+        ej = jnp.asarray(excess)
+        cj = tuple(map(jnp.asarray, caps))
+        fg0 = np.asarray(grid_mincut(ej, cj, connectivity=8))
+        fgm = np.asarray(grid_mincut_multilevel(
+            ej, cj, connectivity=8, levels=1))
+        assert fgm.shape == (95, 97)
+        assert (fg0 == fgm).mean() > 0.99
+
+
 class TestFlowRecycling:
     def test_warm_start_matches_cold_after_terminal_change(self):
         """grid_mincut_stateful resumed after a terminal-capacity change
