@@ -152,6 +152,12 @@ def seed_from_prior(trimap: np.ndarray, graph: RegionGraph,
     return trimap
 
 
+def _slice_graph_batch(batch, b: int):
+    """View graph `b` of a stacked GraphBatch as a 1-graph batch (a device
+    slice — no host transfer)."""
+    return jax.tree_util.tree_map(lambda a: a[b:b + 1], batch)
+
+
 def _batch_budget() -> int:
     from .grabcut import BATCH_SOLVE_PIXEL_BUDGET
     return BATCH_SOLVE_PIXEL_BUDGET
@@ -259,17 +265,14 @@ class GCNGrabCutPipeline:
                 keep_largest: bool = False, edge_aware: bool = True,
                 filter_radius: int = 8) -> SegmentationResult:
         """Image in → mask out, fully automatic."""
-        from .graph_build import num_nodes_for
-
         # The default configuration (edge-aware trimap, no extra refine
-        # rounds, dense-path node counts) runs through the device-resident
-        # batched program at B=1: graph build → forward → trimap → GrabCut
-        # → clean-up with a single host pull at the end (PERF.md: the
-        # per-stage pulls dominated the scalar path).
-        k_static = num_nodes_for(image.shape[0], image.shape[1],
-                                 self.sp_config)
-        if (edge_aware and refine_iters == 0
-                and k_static <= self.LARGE_NODE_THRESHOLD):
+        # rounds) runs through the device-resident batched program at B=1:
+        # graph build → forward → trimap → GrabCut → clean-up with a single
+        # host pull at the end (PERF.md: the per-stage pulls dominated the
+        # scalar path).  Large images take the same route — segment_batch
+        # swaps the dense stacked forward for the per-image banded-SpMM
+        # path above LARGE_NODE_THRESHOLD.
+        if edge_aware and refine_iters == 0:
             return self.segment_batch(
                 [image], threshold_fg=threshold_fg,
                 threshold_bg=threshold_bg, min_area_ratio=min_area_ratio,
@@ -343,14 +346,12 @@ class GCNGrabCutPipeline:
         B = len(images)
 
         # The stacked forward uses the dense (B, N, N) adjacency; above the
-        # large-graph threshold that is O(N^2) memory per layer, so route
-        # through the scalar banded-SpMM path per image instead.
+        # large-graph threshold that is O(N^2) memory per layer, so the
+        # forward stage below switches to the per-image banded-SpMM path
+        # (models/large.py) — every other stage is K-agnostic and stays
+        # batched + device-resident.
         from .graph_build import num_nodes_for
-        if num_nodes_for(H, W, self.sp_config) > self.LARGE_NODE_THRESHOLD:
-            return [self.segment(
-                im_, threshold_fg=threshold_fg, threshold_bg=threshold_bg,
-                min_area_ratio=min_area_ratio, keep_largest=keep_largest,
-                filter_radius=filter_radius) for im_ in images]
+        large = num_nodes_for(H, W, self.sp_config) > self.LARGE_NODE_THRESHOLD
         timing: dict = {}
 
         # Stages dispatch asynchronously and only the final packed pull
@@ -372,7 +373,15 @@ class GCNGrabCutPipeline:
         timing["graph_build"] = time.perf_counter() - t
 
         t = time.perf_counter()
-        logits = apply_model(self.model, self.variables, batch, train=False)
+        if large:
+            from .models.large import apply_large
+            logits = jnp.concatenate([
+                apply_large(self.model, self.variables,
+                            _slice_graph_batch(batch, b))
+                for b in range(B)], axis=0)
+        else:
+            logits = apply_model(self.model, self.variables, batch,
+                                 train=False)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         segments = out["segments"]
 
