@@ -545,6 +545,66 @@ def make_hard_synthetic_dataset(n: int = 200, size: int = 192,
     return samples
 
 
+_REAL_TEXTURE_BANK: Optional[tuple] = None
+
+
+def _real_texture_bank() -> tuple:
+    """Real photographs bundled with the scientific-python stack — the only
+    real image pixels available in this environment (sklearn's china.jpg /
+    flower.jpg, matplotlib's grace_hopper.jpg).  Crop sources for the
+    photo-synthetic generator's real-texture family: foliage, sky, stone,
+    water, skin and fabric patches with genuine sensor/texture statistics
+    that the procedural families can only approximate.  Returns () when
+    the packages are absent (the generator then skips the family)."""
+    global _REAL_TEXTURE_BANK
+    if _REAL_TEXTURE_BANK is not None:
+        return _REAL_TEXTURE_BANK
+    bank = []
+    try:
+        from sklearn import datasets as _skd
+        d = Path(_skd.__file__).parent / "images"
+        for f in ("china.jpg", "flower.jpg"):
+            img = cv2.imread(str(d / f), cv2.IMREAD_COLOR)
+            if img is not None:
+                bank.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    except Exception:
+        pass
+    try:
+        import matplotlib
+        p = (Path(matplotlib.__file__).parent / "mpl-data" / "sample_data"
+             / "grace_hopper.jpg")
+        img = cv2.imread(str(p), cv2.IMREAD_COLOR)
+        if img is not None:
+            bank.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+    except Exception:
+        pass
+    _REAL_TEXTURE_BANK = tuple(bank)
+    return _REAL_TEXTURE_BANK
+
+
+def _real_texture_crop(rng: np.random.RandomState, size: int,
+                       bank: tuple) -> np.ndarray:
+    """One colour-jittered square texture crop resized to (size, size)
+    float32.  Crops are deliberately sub-object scale (12-45% of the source
+    min-dimension) so they contribute texture statistics, not recognisable
+    salient objects that would fight the pasted foreground's label."""
+    src = bank[rng.randint(len(bank))]
+    h, w = src.shape[:2]
+    ch = max(24, int(min(h, w) * rng.uniform(0.12, 0.45)))
+    y0 = rng.randint(0, h - ch + 1)
+    x0 = rng.randint(0, w - ch + 1)
+    crop = src[y0:y0 + ch, x0:x0 + ch]
+    if rng.rand() < 0.5:
+        crop = crop[:, ::-1]
+    crop = np.rot90(crop, rng.randint(4))
+    interp = cv2.INTER_AREA if ch >= size else cv2.INTER_CUBIC
+    crop = cv2.resize(np.ascontiguousarray(crop), (size, size),
+                      interpolation=interp).astype(np.float32)
+    crop = crop * rng.uniform(0.6, 1.3, 3)[None, None] \
+        + rng.uniform(-25, 25, 3)[None, None]
+    return np.clip(crop, 0, 255)
+
+
 def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
                                  seed: int = 99) -> list[dict]:
     """Photograph-statistics training distribution: scene-like backgrounds
@@ -567,8 +627,13 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         # Four families, matched to what real photos contain and the
         # geometric fixtures lack: textured two-zone scenes, near-smooth
         # gradients (sky/walls), out-of-focus bokeh, and streaky water.
-        bg_kind = ["zones", "zones", "smooth", "bokeh", "water"][
-            rng.randint(5)]
+        bank = _real_texture_bank()
+        kinds = ["zones", "zones", "smooth", "bokeh", "water"]
+        if bank:
+            # Real-photo texture statistics (see _real_texture_bank) join
+            # the rotation when crop sources are available.
+            kinds += ["realtex", "realtex"]
+        bg_kind = kinds[rng.randint(len(kinds))]
         c_top = rng.randint(40, 220, 3).astype(np.float32)
         c_bot = np.clip(c_top + rng.randint(-90, 90, 3), 20, 235)
         horizon = rng.uniform(0.25, 0.75)
@@ -608,13 +673,23 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
                                      min(bx, size - 1)]), -1)
             img = cv2.GaussianBlur(img, (0, 0), size * rng.uniform(
                 0.02, 0.06))
-        else:  # water: horizontally streaked, vertically smooth
+        elif bg_kind == "water":  # horizontally streaked, vertically smooth
             lowres = rng.randn(size // 8 + 2, size // 8 + 2, 3)
             tex = cv2.resize(lowres, (size, size),
                              interpolation=cv2.INTER_CUBIC
                              ) * rng.uniform(4, 12)
             tex = cv2.blur(tex, (max(size // 8, 3), 3))
             img += tex
+        else:  # realtex: one or two real texture crops as the scene
+            img = _real_texture_crop(rng, size, bank)
+            if rng.rand() < 0.5:
+                # two-zone scene from two different real textures
+                second = _real_texture_crop(rng, size, bank)
+                img = img * (1 - blend[..., None]) \
+                    + second * blend[..., None]
+            if rng.rand() < 0.3:   # out-of-focus background
+                img = cv2.GaussianBlur(img, (0, 0),
+                                       size * rng.uniform(0.004, 0.02))
         # vignette
         r2 = (yy - 0.5) ** 2 + (xx - 0.5) ** 2
         img *= (1.0 - rng.uniform(0.0, 0.35) * r2)[..., None]
@@ -683,6 +758,12 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         for q in range(4):
             obj[patch_lbl == q] = cols[q]
         obj += rng.randn(size, size, 3) * rng.uniform(3, 14)
+        if bank and rng.rand() < 0.4:
+            # real micro-texture on the object: high-pass of a real crop
+            # (fur/fabric/foliage detail) without leaking its palette
+            tex = _real_texture_crop(rng, size, bank)
+            tex -= cv2.GaussianBlur(tex, (0, 0), size / 24.0)
+            obj += tex * rng.uniform(0.5, 1.2)
         img = np.where(mask[..., None] > 0, obj, img)
 
         # contour darkening (real objects self-shadow at silhouettes)

@@ -141,6 +141,23 @@ class TestPhotoSyntheticGenerator:
         np.testing.assert_array_equal(a[0]["image"], b[0]["image"])
         np.testing.assert_array_equal(a[0]["gt_mask"], b[0]["gt_mask"])
 
+    def test_real_texture_bank_and_family(self):
+        """When bundled real photos exist (sklearn/matplotlib sample
+        images), the generator's realtex family must draw on them
+        deterministically; when absent the generator must still work."""
+        from gcn_grabcut_tpu.data.dataset import (_real_texture_bank,
+                                                  _real_texture_crop)
+        bank = _real_texture_bank()
+        assert isinstance(bank, tuple)
+        for b in bank:
+            assert b.ndim == 3 and b.dtype == np.uint8
+        if bank:
+            r1 = _real_texture_crop(np.random.RandomState(3), 96, bank)
+            r2 = _real_texture_crop(np.random.RandomState(3), 96, bank)
+            assert r1.shape == (96, 96, 3)
+            assert r1.min() >= 0.0 and r1.max() <= 255.0
+            np.testing.assert_array_equal(r1, r2)
+
     def test_framed_samples_have_background_borders(self):
         """The matte-frame variant must never label frame pixels foreground
         (the frame overwrites the image, so the mask is zeroed under it)."""
