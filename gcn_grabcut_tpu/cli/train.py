@@ -28,6 +28,11 @@ def parse_args(argv=None):
                    help="additionally mix in N photo-statistics synthetic "
                         "samples (scene backgrounds, multi-part objects)")
     p.add_argument("--hard-size", type=int, default=512)
+    p.add_argument("--real-textures", action="store_true",
+                   help="mix real-photo texture crops (bundled sample "
+                        "images) into the photo-synthetic generator; "
+                        "measured to REGRESS the real-photo head-to-head "
+                        "with this environment's 3-image bank (PERF.md)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic samples instead of a dataset")
     p.add_argument("--model", choices=["resgcn", "gcn", "gat"],
@@ -95,7 +100,7 @@ def main(argv=None):
         if args.photo_synthetic:
             samples += make_photo_synthetic_dataset(
                 n=args.photo_synthetic, size=args.hard_size,
-                seed=args.seed + 1)
+                seed=args.seed + 1, real_textures=args.real_textures)
         train_s, val_s, _ = split_dataset(samples, seed=args.seed)
     elif args.synthetic:
         samples = make_synthetic_dataset(n=args.synthetic, seed=args.seed)
