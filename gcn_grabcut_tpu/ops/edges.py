@@ -21,6 +21,32 @@ import jax
 import jax.numpy as jnp
 
 
+def unique_counts_static(codes: jnp.ndarray, size: int, sentinel
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`jnp.unique(codes, size=size, fill_value=sentinel,
+    return_counts=True)`, hand-rolled as sort + sorted segment reductions.
+
+    jnp.unique's compaction path costs ~6x its underlying sort on this
+    backend (220 ms vs 36 ms for 8x1M codes); sorting then reducing with
+    `indices_are_sorted=True` segment ops (the repo's known-fast scatter
+    form) keeps only the sort.  Semantics match jnp.unique: ascending
+    uniques, truncated at `size`, empty slots carry `sentinel` with
+    count 0.
+    """
+    s = jnp.sort(codes.reshape(-1))
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), s[1:] != s[:-1]])
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    rank = jnp.minimum(rank, size)          # overflow → dropped segment
+    uniq = jax.ops.segment_max(s, rank, num_segments=size + 1,
+                               indices_are_sorted=True)[:size]
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(rank), rank, num_segments=size + 1,
+        indices_are_sorted=True)[:size]
+    uniq = jnp.where(counts > 0, uniq, sentinel)
+    return uniq, counts
+
+
 def adjacency_budget(k: int, connectivity: int = 4) -> int:
     # 4-connected RAGs are planar (< 3K undirected edges); diagonal
     # adjacency can exceed that, so 8-connectivity gets a larger budget.
@@ -64,8 +90,7 @@ def adjacency_pairs(segments: jnp.ndarray, k: int, connectivity: int = 4
     codes = jnp.concatenate(codes)
 
     budget = adjacency_budget(k, connectivity)
-    uniq, counts = jnp.unique(codes, size=budget, fill_value=sent,
-                              return_counts=True)
+    uniq, counts = unique_counts_static(codes, budget, sent)
     mask = (uniq != sent).astype(jnp.float32)
     counts = counts.astype(jnp.float32) * mask
     shared = counts / (jnp.max(counts) + 1e-6)
@@ -111,7 +136,7 @@ def nonlocal_pairs(adj_pairs: jnp.ndarray, adj_mask: jnp.ndarray,
     sent = k * k
     codes = jnp.where(finite, lo * k + hi, sent).reshape(-1)
 
-    uniq = jnp.unique(codes, size=budget, fill_value=sent)
+    uniq, _ = unique_counts_static(codes, budget, sent)
     mask = (uniq != sent).astype(jnp.float32)
     uniq = jnp.where(uniq == sent, 0, uniq)
     pairs = jnp.stack([uniq // k, uniq % k], axis=1).astype(jnp.int32)
@@ -163,7 +188,7 @@ def nonlocal_pairs_banded(mean_lab: jnp.ndarray, valid: jnp.ndarray, k: int,
         return None, codes.reshape(-1)
 
     _, codes = jax.lax.scan(step, None, jnp.arange(0, kp, block))
-    uniq = jnp.unique(codes.reshape(-1), size=budget, fill_value=sent)
+    uniq, _ = unique_counts_static(codes.reshape(-1), budget, sent)
     mask = (uniq != sent).astype(jnp.float32)
     uniq = jnp.where(uniq == sent, 0, uniq)
     pairs = jnp.stack([uniq // k, uniq % k], axis=1).astype(jnp.int32)

@@ -165,26 +165,63 @@ def _batch_budget() -> int:
 
 @functools.partial(jax.jit, static_argnames=("filter_radius",))
 def _trimap_stage_device(probs, segments, grays, priors, node_masks,
-                         thr_fg, thr_bg, filter_radius: int):
+                         thr_fg, thr_bg, filter_radius: int,
+                         seed_frac: float = 0.1):
     """Edge-aware trimap refinement + prior seeding as ONE module-level jit.
 
     Module-level so repeated `segment_batch` calls hit the jit cache (a
     per-call closure retraces every time), with the thresholds as traced
     scalars (no retrace when a caller sweeps them) and only the filter
     radius static (it changes the box-filter program shape).
+
+    All four per-node planes this stage projects to pixels — P(BG), P(FG)
+    and the two prior-rank seed masks of `_seed_from_prior_device` — ride
+    ONE blocked one-hot-matmul projection (`project_planes`): separate
+    per-plane gathers at 512² were the stage's dominant cost.
     """
-    def one(p, s, gray):
+    from .models.factory import project_planes
+
+    def node_side(p, prior, nm):
+        n_valid = jnp.maximum(jnp.sum(nm), 1.0)
+        n_seed = jnp.maximum(
+            1, jnp.round(seed_frac * n_valid)).astype(jnp.int32)
+
+        def seed_mask(score):
+            s = jnp.where(nm > 0, score, -1.0)
+            kth = jnp.sort(s)[::-1][jnp.minimum(n_seed - 1, s.shape[0] - 1)]
+            return (s >= kth).astype(jnp.float32)
+
+        return jnp.stack(
+            [p[:, CLASS_BG].astype(jnp.float32),
+             p[:, CLASS_FG].astype(jnp.float32),
+             seed_mask(prior[:, 0]), seed_mask(prior[:, 1])], axis=-1)
+
+    packed = jax.vmap(node_side)(probs, priors, node_masks)    # (B, K, 4)
+    px = jax.vmap(project_planes)(packed, segments)            # (B, H, W, 4)
+
+    def one(px1, gray):
         p_bg = jnp.clip(im.guided_filter(
-            gray, p[:, CLASS_BG][s], filter_radius, 1e-3), 0, 1)
+            gray, px1[..., 0], filter_radius, 1e-3), 0, 1)
         p_fg = jnp.clip(im.guided_filter(
-            gray, p[:, CLASS_FG][s], filter_radius, 1e-3), 0, 1)
+            gray, px1[..., 1], filter_radius, 1e-3), 0, 1)
         tri = jnp.where(p_fg > p_bg, TRIMAP_PROB_FG, TRIMAP_PROB_BG)
         tri = jnp.where(p_bg >= thr_bg, TRIMAP_BG, tri)
         tri = jnp.where(p_fg >= thr_fg, TRIMAP_FG, tri)
-        return tri.astype(jnp.uint8)
+        tri = tri.astype(jnp.uint8)
+        # seed_from_prior, branchless (reference pipeline.py:149-186): when
+        # a probable side is missing entirely, promote the ~seed_frac
+        # highest-prior regions to it.
+        has_fg = jnp.any((tri == TRIMAP_FG) | (tri == TRIMAP_PROB_FG))
+        has_bg = jnp.any((tri == TRIMAP_BG) | (tri == TRIMAP_PROB_BG))
+        tri = jnp.where(has_fg, tri,
+                        jnp.where(px1[..., 2] > 0,
+                                  jnp.uint8(TRIMAP_PROB_FG), tri))
+        tri = jnp.where(has_bg, tri,
+                        jnp.where(px1[..., 3] > 0,
+                                  jnp.uint8(TRIMAP_PROB_BG), tri))
+        return tri
 
-    trimaps = jax.vmap(one)(probs, segments, grays)
-    return _seed_from_prior_device(trimaps, priors, node_masks, segments)
+    return jax.vmap(one)(px, grays)
 
 
 @functools.partial(jax.jit, static_argnames=("keep_largest",))

@@ -68,6 +68,35 @@ class TestSlic:
         assert counts.max() < 8 * test_image.shape[0] * test_image.shape[1] / K
 
 
+class TestUniqueCountsStatic:
+    def test_matches_jnp_unique(self):
+        """The sort+sorted-segment dedup must match jnp.unique exactly:
+        ascending uniques, counts, sentinel handling, truncation, and
+        empty-slot fill."""
+        import jax.numpy as jnp
+        from gcn_grabcut_tpu.ops.edges import unique_counts_static
+        r = np.random.RandomState(0)
+        sent = 10_000
+        cases = [
+            r.randint(0, 40, 500),                      # few uniques
+            np.where(r.rand(300) < 0.7, sent,
+                     r.randint(0, 40, 300)),            # sentinel-heavy
+            r.randint(0, 5000, 2000),                   # overflow vs size
+            np.full(16, sent),                          # all sentinel
+        ]
+        for codes in cases:
+            codes = codes.astype(np.int32)
+            for size in (8, 64, 256):
+                u0, c0 = jnp.unique(jnp.asarray(codes), size=size,
+                                    fill_value=sent, return_counts=True)
+                u1, c1 = unique_counts_static(jnp.asarray(codes), size,
+                                              sent)
+                np.testing.assert_array_equal(np.asarray(u0),
+                                              np.asarray(u1))
+                np.testing.assert_array_equal(np.asarray(c0),
+                                              np.asarray(c1))
+
+
 class TestGraphBuild:
     def test_shapes_and_masks(self, graph, test_image):
         g = graph.graph

@@ -141,6 +141,35 @@ class TestPipeline:
         assert len(fg_ids) <= 1
 
 
+class TestProjection:
+    def test_project_planes_matches_gather_exactly(self):
+        """The blocked one-hot-matmul projection must be bit-identical to
+        the gather it replaces (one-hot selects exactly one fp32 row)."""
+        import jax.numpy as jnp
+        from gcn_grabcut_tpu.models.factory import project_planes
+        r = np.random.RandomState(0)
+        for H, W, K, C in ((37, 53, 17, 4), (64, 64, 500, 1)):
+            seg = jnp.asarray(r.randint(0, K, (H, W)), jnp.int32)
+            planes = jnp.asarray(r.rand(K, C), jnp.float32)
+            out = np.asarray(project_planes(planes, seg))
+            ref = np.asarray(planes)[np.asarray(seg)]
+            np.testing.assert_array_equal(out, ref)
+
+    def test_project_to_pixels_float_and_int(self):
+        import jax.numpy as jnp
+        from gcn_grabcut_tpu.models.factory import project_to_pixels
+        r = np.random.RandomState(1)
+        seg = jnp.asarray(r.randint(0, 9, (21, 33)), jnp.int32)
+        vals_f = jnp.asarray(r.rand(9), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(project_to_pixels(vals_f, seg)),
+            np.asarray(vals_f)[np.asarray(seg)])
+        vals_i = jnp.asarray(r.randint(0, 4, 9), jnp.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(project_to_pixels(vals_i, seg)),
+            np.asarray(vals_i)[np.asarray(seg)])
+
+
 class TestBatchedPipeline:
     def test_segment_batch_matches_scalar(self, circle_image):
         """Batched inference must agree with the scalar path
