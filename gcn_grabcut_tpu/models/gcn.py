@@ -28,8 +28,15 @@ class GCNTrimapNet(nn.Module):
     dropout: float = 0.2
     dtype: Optional[jnp.dtype] = None
 
+    # Accepts SpMM aggregators for the 10k+-node path (models/large.py).
+    supports_spmm_aggregators = True
+
     @nn.compact
-    def __call__(self, g: GraphBatch, train: bool = False) -> jnp.ndarray:
+    def __call__(self, g: GraphBatch, train: bool = False,
+                 aggregators=None) -> jnp.ndarray:
+        """`aggregators`: optional (gcn_propagate, mean_propagate) callables
+        replacing the dense adjacency (the banded-SpMM large-graph path);
+        only the GCN propagation is used by this variant."""
         D = self.hidden_channels
         N = g.max_nodes
         dense = lambda feats, name: nn.Dense(
@@ -43,8 +50,11 @@ class GCNTrimapNet(nn.Module):
                       name="input_bn")(h, g.node_mask, train=train)
         h = nn.relu(h)
 
-        adj = dense_adjacency(g.edge_src, g.edge_dst, g.edge_mask, N)
-        adj_gcn = gcn_norm_adjacency(adj)
+        if aggregators is not None:
+            adj_gcn, _ = aggregators
+        else:
+            adj = dense_adjacency(g.edge_src, g.edge_dst, g.edge_mask, N)
+            adj_gcn = gcn_norm_adjacency(adj)
 
         all_h = [h]
         for i in range(self.n_layers):

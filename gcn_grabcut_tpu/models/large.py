@@ -130,6 +130,13 @@ def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
     `build_gcn_plans_device`) to amortise plan construction across repeated
     forwards on the same graph."""
     assert g.n_graphs == 1, "large-graph path operates on one graph"
+    if not getattr(model, "supports_spmm_aggregators", False):
+        raise ValueError(
+            f"{type(model).__name__} has no SpMM-aggregator forward; the "
+            "banded large-graph path supports ResGCNNet and GCNTrimapNet. "
+            "GATv2's data-dependent attention weights need per-forward "
+            "SDDMM plans — run it on the dense path (<=2048 nodes) or "
+            "lower SuperpixelGraphConfig.n_segments.")
     n = g.max_nodes
     if plans is None:
         plans = build_gcn_plans_device(

@@ -38,6 +38,9 @@ class ResGCNNet(nn.Module):
     dropout: float = 0.15
     dtype: Optional[jnp.dtype] = None
 
+    # Accepts SpMM aggregators for the 10k+-node path (models/large.py).
+    supports_spmm_aggregators = True
+
     @nn.compact
     def __call__(self, g: GraphBatch, train: bool = False,
                  aggregators=None) -> jnp.ndarray:

@@ -8,6 +8,7 @@ dense K x K state.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gcn_grabcut_tpu.ops.prior import (
@@ -87,6 +88,54 @@ class TestBandedNonlocal:
         m = np.asarray(mask) > 0
         p = np.asarray(pairs)[m]
         assert not np.isin(p, np.arange(50, 100)).any()
+
+
+class TestLargeVariants:
+    def test_gcn_variant_matches_dense_on_spmm_path(self):
+        """GCNTrimapNet through apply_large must match its dense forward."""
+        import jax.random as jr
+        import jax.numpy as jnp
+        from gcn_grabcut_tpu import build_model, init_model
+        from gcn_grabcut_tpu.models.factory import apply_model
+        from gcn_grabcut_tpu.models.large import apply_large
+        from gcn_grabcut_tpu.core.graph import make_graph_batch
+
+        r = np.random.RandomState(2)
+        K, E = 60, 200
+        src = r.randint(0, K, E)
+        dst = r.randint(0, K, E)
+        g = make_graph_batch(
+            x=r.randn(1, K, 19).astype(np.float32),
+            edge_src=src[None], edge_dst=dst[None],
+            edge_attr=r.rand(1, E, 5).astype(np.float32),
+            node_mask=np.ones((1, K), np.float32),
+            edge_mask=np.ones((1, E), np.float32))
+        m = build_model("gcn", hidden_channels=16, n_layers=2)
+        vs = init_model(m, jr.PRNGKey(0), g)
+        dense_out = np.asarray(apply_model(m, vs, g, train=False))
+        spmm_out = np.asarray(apply_large(m, vs, g))
+        np.testing.assert_allclose(spmm_out, dense_out, rtol=2e-3,
+                                   atol=2e-3)
+
+    def test_gat_variant_raises_clear_error(self):
+        import jax.random as jr
+        from gcn_grabcut_tpu import build_model, init_model
+        from gcn_grabcut_tpu.models.large import apply_large
+        from gcn_grabcut_tpu.core.graph import make_graph_batch
+
+        r = np.random.RandomState(3)
+        K, E = 30, 80
+        g = make_graph_batch(
+            x=r.randn(1, K, 19).astype(np.float32),
+            edge_src=r.randint(0, K, E)[None],
+            edge_dst=r.randint(0, K, E)[None],
+            edge_attr=r.rand(1, E, 5).astype(np.float32),
+            node_mask=np.ones((1, K), np.float32),
+            edge_mask=np.ones((1, E), np.float32))
+        m = build_model("gat", hidden_channels=16, n_layers=2)
+        vs = init_model(m, jr.PRNGKey(0), g)
+        with pytest.raises(ValueError, match="SpMM-aggregator"):
+            apply_large(m, vs, g)
 
 
 class TestLargePipeline:
