@@ -159,19 +159,30 @@ class GATv2Conv(nn.Module):
         att = self.param("att", KAIMING, (H, F))
 
         def per_graph(xl_g, xr_g, src_g, dst_g, ea_g, m_g):
+            # Destination-sort the edge list once: the three segment
+            # reductions below then take the sorted-scatter lowering
+            # (unsorted scatters both run and COMPILE pathologically on
+            # this backend — see ops/spmm.py).  Per-node outputs are
+            # order-independent.
+            order = jnp.argsort(dst_g)
+            src_g, dst_g = src_g[order], dst_g[order]
+            ea_g, m_g = ea_g[order], m_g[order]
             z = xl_g[src_g] + xr_g[dst_g] + ea_g          # (E', H, F)
             z = nn.leaky_relu(z, self.negative_slope)
             score = jnp.einsum("ehf,hf->eh", z, att.astype(z.dtype))
             # per-destination softmax, fp32 island
             s = score.astype(jnp.float32)
             s = jnp.where(m_g[:, None] > 0, s, -1e30)
-            peak = jax.ops.segment_max(s, dst_g, num_segments=N)
+            peak = jax.ops.segment_max(s, dst_g, num_segments=N,
+                                       indices_are_sorted=True)
             peak = jnp.where(jnp.isfinite(peak), peak, 0.0)
             ex = jnp.exp(s - peak[dst_g]) * m_g[:, None]
-            tot = jax.ops.segment_sum(ex, dst_g, num_segments=N)
+            tot = jax.ops.segment_sum(ex, dst_g, num_segments=N,
+                                      indices_are_sorted=True)
             alpha = (ex / (tot[dst_g] + 1e-12)).astype(z.dtype)
             msg = xl_g[src_g] * alpha[..., None]           # (E', H, F)
-            return jax.ops.segment_sum(msg, dst_g, num_segments=N)
+            return jax.ops.segment_sum(msg, dst_g, num_segments=N,
+                                       indices_are_sorted=True)
 
         out = jax.vmap(per_graph)(xl, xr, src, dst, ea, mask)
         out = out.reshape(G, N, H * F)

@@ -117,6 +117,25 @@ class TestLargeVariants:
         np.testing.assert_allclose(spmm_out, dense_out, rtol=2e-3,
                                    atol=2e-3)
 
+    def test_gat_runs_at_large_k_through_pipeline(self):
+        """GATv2 has no dense adjacency (edge-list segment ops, O(E)), so
+        the pipeline routes it through its normal forward at K > 2048."""
+        import jax.random as jr
+        from gcn_grabcut_tpu import (GCNGrabCutPipeline,
+                                     SuperpixelGraphConfig, build_graph,
+                                     build_model, init_model)
+        r = np.random.RandomState(7)
+        img = (r.rand(224, 224, 3) * 255).astype(np.uint8)
+        cfg = SuperpixelGraphConfig(n_segments=2600)
+        g = build_graph(img, cfg)
+        assert g.n_nodes > 2048
+        m = build_model("gat", hidden_channels=16, n_layers=2)
+        vs = init_model(m, jr.PRNGKey(0), g.graph)
+        pipe = GCNGrabCutPipeline(m, vs, sp_config=cfg)
+        probs = pipe.predict_probs(g)
+        assert probs.shape == (g.n_nodes, 3)
+        assert np.isfinite(probs).all()
+
     def test_gat_variant_raises_clear_error(self):
         import jax.random as jr
         from gcn_grabcut_tpu import build_model, init_model
