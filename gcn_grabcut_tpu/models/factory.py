@@ -117,10 +117,16 @@ def project_planes(node_planes: jnp.ndarray, segments: jnp.ndarray,
     gather: one-hot(block, K) @ (K, C) selects exactly one row per pixel
     (fp32-exact, identical to the gather) and measures ~3x faster than
     separate per-plane gathers at 512²/K=500 on this chip.
+
+    Above K=2048 the one-hot transient (block x K fp32 per loop step,
+    times B under vmap) outgrows its win — the 10k-superpixel batch would
+    materialise gigabytes — so large label spaces keep the exact gather.
     """
     node_planes = jnp.asarray(node_planes)
     K, C = node_planes.shape
     H, W = segments.shape
+    if K > 2048:
+        return node_planes[segments]
     flat = segments.reshape(-1)
     n = flat.shape[0]
     blk = min(block, n)

@@ -204,9 +204,15 @@ class EdgeContext(nn.Module):
         h = nn.Dense(ctx_dim, kernel_init=KAIMING, dtype=self.dtype)(h)
 
         def scatter_mean_g(vals, dst, m):
+            # dst-sorted scatter: unsorted segment sums compile and run
+            # pathologically on this backend at 10k+-node edge counts.
+            order = jnp.argsort(dst)
+            vals, dst, m = vals[order], dst[order], m[order]
             w = m[:, None]
-            tot = jax.ops.segment_sum(vals * w, dst, num_segments=n_nodes)
-            cnt = jax.ops.segment_sum(m, dst, num_segments=n_nodes)
+            tot = jax.ops.segment_sum(vals * w, dst, num_segments=n_nodes,
+                                      indices_are_sorted=True)
+            cnt = jax.ops.segment_sum(m, dst, num_segments=n_nodes,
+                                      indices_are_sorted=True)
             return tot / jnp.maximum(cnt, 1.0)[:, None]
 
         ctx = jax.vmap(scatter_mean_g)(h, edge_dst, edge_mask)
@@ -231,9 +237,15 @@ class EdgeInjection(nn.Module):
         h = nn.sigmoid(h)
 
         def scatter_mean_g(vals, dst, m):
+            # dst-sorted scatter: unsorted segment sums compile and run
+            # pathologically on this backend at 10k+-node edge counts.
+            order = jnp.argsort(dst)
+            vals, dst, m = vals[order], dst[order], m[order]
             w = m[:, None]
-            tot = jax.ops.segment_sum(vals * w, dst, num_segments=n_nodes)
-            cnt = jax.ops.segment_sum(m, dst, num_segments=n_nodes)
+            tot = jax.ops.segment_sum(vals * w, dst, num_segments=n_nodes,
+                                      indices_are_sorted=True)
+            cnt = jax.ops.segment_sum(m, dst, num_segments=n_nodes,
+                                      indices_are_sorted=True)
             return tot / jnp.maximum(cnt, 1.0)[:, None]
 
         gates = jax.vmap(scatter_mean_g)(h, edge_dst, edge_mask)

@@ -235,33 +235,6 @@ def _post_stage_device(masks, trimaps, min_area, keep_largest: bool):
     return jnp.stack([cleaned.astype(jnp.uint8), trimaps])
 
 
-def _seed_from_prior_device(trimaps, priors, node_masks, segments,
-                            seed_frac: float = 0.1):
-    """Device-side batched seed_from_prior: same repair as the host path
-    (promote the ~seed_frac highest-prior regions to the missing probable
-    side), branchless per image.  Ties at the rank-k score promote
-    together (scores are continuous, so this matches the host top-k in
-    practice)."""
-    def one(tri, prior, nm, seg):
-        has_fg = jnp.any((tri == TRIMAP_FG) | (tri == TRIMAP_PROB_FG))
-        has_bg = jnp.any((tri == TRIMAP_BG) | (tri == TRIMAP_PROB_BG))
-        n_valid = jnp.maximum(jnp.sum(nm), 1.0)
-        n_seed = jnp.maximum(
-            1, jnp.round(seed_frac * n_valid)).astype(jnp.int32)
-
-        def promoted(score, label):
-            s = jnp.where(nm > 0, score, -1.0)
-            kth = jnp.sort(s)[::-1][jnp.minimum(n_seed - 1, s.shape[0] - 1)]
-            px = (s >= kth)[seg]
-            return jnp.where(px, jnp.uint8(label), tri)
-
-        tri = jnp.where(has_fg, tri, promoted(prior[:, 0], TRIMAP_PROB_FG))
-        tri = jnp.where(has_bg, tri, promoted(prior[:, 1], TRIMAP_PROB_BG))
-        return tri.astype(jnp.uint8)
-
-    return jax.vmap(one)(trimaps, priors, node_masks, segments)
-
-
 class GCNGrabCutPipeline:
     """Full GCN-GrabCut segmentation pipeline (reference pipeline.py:239-352).
 
@@ -312,7 +285,11 @@ class GCNGrabCutPipeline:
         # scalar path).  Large images take the same route — segment_batch
         # swaps the dense stacked forward for the per-image banded-SpMM
         # path above LARGE_NODE_THRESHOLD.
-        if edge_aware and refine_iters == 0:
+        # An explicit backend="native" keeps the classic staged path below
+        # (its GrabCut honours the C++ host solver); "auto"/"device" take
+        # the fused device program.
+        if (edge_aware and refine_iters == 0
+                and self.gc_config.backend != "native"):
             return self.segment_batch(
                 [image], threshold_fg=threshold_fg,
                 threshold_bg=threshold_bg, min_area_ratio=min_area_ratio,
