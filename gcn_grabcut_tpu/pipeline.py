@@ -225,14 +225,20 @@ def _trimap_stage_device(probs, segments, grays, priors, node_masks,
 
 
 @functools.partial(jax.jit, static_argnames=("keep_largest",))
-def _post_stage_device(masks, trimaps, min_area, keep_largest: bool):
+def _post_stage_device(masks, trimaps, segments, min_area,
+                       keep_largest: bool):
     """Batched component clean-up + output packing as one jit: returns a
-    (2, B, H, W) uint8 stack (cleaned masks, trimaps) so the batch's
-    outputs ride a single host transfer."""
+    (4, B, H, W) uint8 stack — cleaned masks, trimaps, and the label map
+    split into low/high bytes (K < 65536) — so the batch's entire output
+    rides ONE host transfer (each separate pull pays the tunnel's
+    per-transfer round trip)."""
     from .ops.connected import _clean_mask_jit
     cleaned = jax.vmap(
         lambda m: _clean_mask_jit(m, min_area, keep_largest))(masks)
-    return jnp.stack([cleaned.astype(jnp.uint8), trimaps])
+    seg16 = segments.astype(jnp.uint16)
+    return jnp.stack([cleaned.astype(jnp.uint8), trimaps,
+                      (seg16 & 0xFF).astype(jnp.uint8),
+                      (seg16 >> 8).astype(jnp.uint8)])
 
 
 class GCNGrabCutPipeline:
@@ -425,13 +431,14 @@ class GCNGrabCutPipeline:
         t = time.perf_counter()
         min_area = jnp.float32(min_area_ratio * H * W)
         # The single host pull of the whole batch's outputs, compacted for
-        # the ~40 MB/s tunnel: masks+trimaps ride one uint8 transfer and the
-        # label map drops to uint16 (K << 65536), halving its 8 MB/batch.
+        # the ~40 MB/s tunnel: masks, trimaps and the byte-split uint16
+        # label map ride ONE uint8 transfer.
         packed = np.asarray(
-            _post_stage_device(masks, trimaps, min_area, keep_largest))
+            _post_stage_device(masks, trimaps, segments, min_area,
+                               keep_largest))
         masks_np, trimaps_np = packed[0], packed[1]
-        segments_np = np.asarray(
-            segments.astype(jnp.uint16)).astype(np.int32)
+        segments_np = (packed[2].astype(np.int32)
+                       | (packed[3].astype(np.int32) << 8))
         timing["postprocess"] = time.perf_counter() - t
 
         results = []

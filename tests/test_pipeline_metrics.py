@@ -141,6 +141,37 @@ class TestPipeline:
         assert len(fg_ids) <= 1
 
 
+class TestBackendRouting:
+    def test_explicit_native_backend_skips_device_delegation(self):
+        """GrabCutConfig(backend='native') must keep segment() on the
+        classic staged path (whose GrabCut honours the C++ solver) instead
+        of the fused device program that ignores the backend setting."""
+        from gcn_grabcut_tpu.native import native_available
+        if not native_available():
+            pytest.skip("no C++ toolchain")
+        import jax.random as jr
+        from gcn_grabcut_tpu import (GCNGrabCutPipeline,
+                                     SuperpixelGraphConfig, GrabCutConfig,
+                                     build_model, init_model, build_graph)
+        r = np.random.RandomState(0)
+        img = (r.rand(96, 96, 3) * 255).astype(np.uint8)
+        img[30:70, 30:70] = 230
+        cfg = SuperpixelGraphConfig(n_segments=60)
+        g = build_graph(img, cfg)
+        m = build_model("resgcn", hidden_channels=8, n_layers=2)
+        vs = init_model(m, jr.PRNGKey(0), g.graph)
+        pipe = GCNGrabCutPipeline(
+            m, vs, sp_config=cfg,
+            gc_config=GrabCutConfig(backend="native"))
+
+        def boom(*a, **k):
+            raise AssertionError("segment() delegated to the device path "
+                                 "despite backend='native'")
+        pipe.segment_batch = boom
+        res = pipe.segment(img)
+        assert res.binary_mask.shape == img.shape[:2]
+
+
 class TestProjection:
     def test_project_planes_matches_gather_exactly(self):
         """The blocked one-hot-matmul projection must be bit-identical to
