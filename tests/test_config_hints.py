@@ -94,3 +94,34 @@ class TestGraphExport:
         assert d["edge_index"].shape[0] == 2
         assert d["edge_attr"].shape[1] == 5
         assert d["edge_index"].max() < rg.n_nodes
+
+
+class TestShippedCheckpoints:
+    def test_flagship_checkpoints_load_and_predict(self):
+        """The example checkpoints in examples/ must restore through the
+        public loader and produce finite logits — guards the shipped
+        artifacts against format drift."""
+        from pathlib import Path
+        import jax.numpy as jnp
+        from gcn_grabcut_tpu import load_model_from_checkpoint, apply_model
+        from gcn_grabcut_tpu.core.graph import make_graph_batch
+
+        r = np.random.RandomState(0)
+        K, E = 24, 60
+        g = make_graph_batch(
+            x=r.randn(1, K, 19).astype(np.float32),
+            edge_src=r.randint(0, K, E)[None],
+            edge_dst=r.randint(0, K, E)[None],
+            edge_attr=r.rand(1, E, 5).astype(np.float32),
+            node_mask=np.ones((1, K), np.float32),
+            edge_mask=np.ones((1, E), np.float32))
+        ex = Path(__file__).resolve().parent.parent / "examples"
+        cks = sorted(ex.glob("*.msgpack"))
+        assert cks, "no shipped checkpoints found"
+        for ck in cks:
+            model, variables, meta = load_model_from_checkpoint(str(ck))
+            logits = np.asarray(
+                apply_model(model, variables, g,
+                            train=False).astype(jnp.float32))
+            assert logits.shape == (1, K, 3), ck.name
+            assert np.isfinite(logits).all(), ck.name
