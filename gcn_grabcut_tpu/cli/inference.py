@@ -37,6 +37,12 @@ def parse_args(argv=None):
                    help="resize every image to exactly max-size x max-size "
                         "(one compile signature for the whole directory; "
                         "masks are resized back to the original geometry)")
+    p.add_argument("--batch", type=int, default=1,
+                   help="run up to N same-shape images per device batch "
+                        "through segment_batch (the device-resident batched "
+                        "program is ~6x the scalar path's throughput; "
+                        "combine with --fixed-size so every image shares "
+                        "one shape)")
     p.add_argument("--save", nargs="+", default=["mask", "overlay"],
                    choices=["mask", "overlay", "rgba", "trimap"])
     p.add_argument("--bf16", action="store_true",
@@ -80,6 +86,68 @@ def main(argv=None):
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    def emit(f, res, hw0, total):
+        H0, W0 = hw0
+        if (H0, W0) != res.binary_mask.shape:
+            res.binary_mask = cv2.resize(res.binary_mask, (W0, H0),
+                                         interpolation=cv2.INTER_NEAREST)
+            res.trimap = cv2.resize(res.trimap, (W0, H0),
+                                    interpolation=cv2.INTER_NEAREST)
+            res.overlay = cv2.resize(res.overlay, (W0, H0),
+                                     interpolation=cv2.INTER_LINEAR)
+            res.rgba = cv2.resize(res.rgba, (W0, H0),
+                                  interpolation=cv2.INTER_LINEAR)
+        stages = "  ".join(f"{k}={v:.2f}s" for k, v in res.timing.items())
+        print(f"[Inference] {f.name}: {total:.2f}s ({stages}) "
+              f"fg={res.binary_mask.mean():.1%}")
+        stem = out_dir / f.stem
+        if "mask" in args.save:
+            cv2.imwrite(f"{stem}_mask.png", res.binary_mask * 255)
+        if "overlay" in args.save:
+            cv2.imwrite(f"{stem}_overlay.png",
+                        cv2.cvtColor(res.overlay, cv2.COLOR_RGB2BGR))
+        if "rgba" in args.save:
+            cv2.imwrite(f"{stem}_rgba.png",
+                        cv2.cvtColor(res.rgba, cv2.COLOR_RGBA2BGRA))
+        if "trimap" in args.save:
+            cv2.imwrite(f"{stem}_trimap.png",
+                        cv2.cvtColor(colour_trimap(res.trimap),
+                                     cv2.COLOR_RGB2BGR))
+
+    # Batched mode needs the default edge-aware / no-extra-refine
+    # configuration (segment_batch's contract); otherwise fall back to
+    # per-image segment().
+    batch = max(1, args.batch)
+    if batch > 1 and (args.refine_iters > 0 or args.no_edge_aware):
+        print("[Inference] --batch ignored with --refine-iters/"
+              "--no-edge-aware (per-image path)")
+        batch = 1
+
+    buf = []   # (path, resized RGB, (H0, W0))
+
+    def flush():
+        if not buf:
+            return
+        t = time.perf_counter()
+        if len(buf) == 1:
+            results = [pipe.segment(
+                buf[0][1], threshold_fg=args.threshold,
+                threshold_bg=args.threshold,
+                refine_iters=args.refine_iters,
+                keep_largest=args.keep_largest,
+                edge_aware=not args.no_edge_aware,
+                filter_radius=args.filter_radius)]
+        else:
+            results = pipe.segment_batch(
+                [b[1] for b in buf], threshold_fg=args.threshold,
+                threshold_bg=args.threshold,
+                keep_largest=args.keep_largest,
+                filter_radius=args.filter_radius)
+        per = (time.perf_counter() - t) / len(buf)
+        for (f, _, hw0), res in zip(buf, results):
+            emit(f, res, hw0, per)
+        buf.clear()
+
     for f in files:
         bgr = cv2.imread(str(f))
         if bgr is None:
@@ -95,42 +163,14 @@ def main(argv=None):
             if scale < 1.0:
                 img = cv2.resize(img, (int(W0 * scale), int(H0 * scale)),
                                  interpolation=cv2.INTER_LINEAR)
-
-        t = time.perf_counter()
-        res = pipe.segment(
-            img, threshold_fg=args.threshold, threshold_bg=args.threshold,
-            refine_iters=args.refine_iters, keep_largest=args.keep_largest,
-            edge_aware=not args.no_edge_aware,
-            filter_radius=args.filter_radius)
-        total = time.perf_counter() - t
-
-        if args.fixed_size and (H0, W0) != res.binary_mask.shape:
-            res.binary_mask = cv2.resize(res.binary_mask, (W0, H0),
-                                         interpolation=cv2.INTER_NEAREST)
-            res.trimap = cv2.resize(res.trimap, (W0, H0),
-                                    interpolation=cv2.INTER_NEAREST)
-            res.overlay = cv2.resize(res.overlay, (W0, H0),
-                                     interpolation=cv2.INTER_LINEAR)
-            res.rgba = cv2.resize(res.rgba, (W0, H0),
-                                  interpolation=cv2.INTER_LINEAR)
-
-        stages = "  ".join(f"{k}={v:.2f}s" for k, v in res.timing.items())
-        print(f"[Inference] {f.name}: {total:.2f}s ({stages}) "
-              f"fg={res.binary_mask.mean():.1%}")
-
-        stem = out_dir / f.stem
-        if "mask" in args.save:
-            cv2.imwrite(f"{stem}_mask.png", res.binary_mask * 255)
-        if "overlay" in args.save:
-            cv2.imwrite(f"{stem}_overlay.png",
-                        cv2.cvtColor(res.overlay, cv2.COLOR_RGB2BGR))
-        if "rgba" in args.save:
-            cv2.imwrite(f"{stem}_rgba.png",
-                        cv2.cvtColor(res.rgba, cv2.COLOR_RGBA2BGRA))
-        if "trimap" in args.save:
-            cv2.imwrite(f"{stem}_trimap.png",
-                        cv2.cvtColor(colour_trimap(res.trimap),
-                                     cv2.COLOR_RGB2BGR))
+        # Same-shape runs batch together; a shape change flushes first.
+        if buf and (len(buf) >= batch
+                    or buf[-1][1].shape != img.shape):
+            flush()
+        buf.append((f, img, (H0, W0)))
+        if len(buf) >= batch:
+            flush()
+    flush()
     print(f"[Inference] Outputs → {out_dir}")
 
 

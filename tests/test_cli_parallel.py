@@ -109,6 +109,38 @@ class TestCLIs:
         assert (tmp_path / "out" / "img_overlay.png").exists()
         assert (tmp_path / "out" / "img_trimap.png").exists()
 
+    def test_inference_cli_batch_mode(self, tmp_path, circle_image):
+        """--batch groups same-shape images through segment_batch and
+        emits identical per-file outputs; a shape change flushes."""
+        from gcn_grabcut_tpu.cli.train import main as train_main
+        from gcn_grabcut_tpu.cli.inference import main as infer_main
+
+        train_main([
+            "--synthetic", "8", "--epochs", "1", "--batch", "4",
+            "--hidden", "24", "--layers", "2", "--n-segments", "40",
+            "--save-dir", str(tmp_path / "ckpt"), "--no-bf16",
+        ])
+        img, _ = circle_image
+        (tmp_path / "imgs").mkdir()
+        for i in range(2):   # same shape -> one batch
+            cv2.imwrite(str(tmp_path / "imgs" / f"a{i}.png"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        # different shape -> its own flush
+        other = cv2.resize(img, (img.shape[1] // 2, img.shape[0]))
+        cv2.imwrite(str(tmp_path / "imgs" / "b.png"),
+                    cv2.cvtColor(other, cv2.COLOR_RGB2BGR))
+        infer_main([
+            "--checkpoint", str(tmp_path / "ckpt" / "final_model.msgpack"),
+            "--input", str(tmp_path / "imgs"),
+            "--output-dir", str(tmp_path / "out"),
+            "--n-segments", "40", "--batch", "4", "--save", "mask",
+        ])
+        for stem in ("a0", "a1", "b"):
+            out = tmp_path / "out" / f"{stem}_mask.png"
+            assert out.exists()
+            m = cv2.imread(str(out), cv2.IMREAD_GRAYSCALE)
+            assert set(np.unique(m)) <= {0, 255}
+
     def test_prepare_graphs_cli(self, tmp_path, circle_image):
         from gcn_grabcut_tpu.cli.prepare_graphs import main
         img, mask = circle_image
