@@ -92,24 +92,22 @@ def main(argv=None):
             groups[m["image"].shape[:2]].append(m)
         results_gt = []
         for shape, group in groups.items():
-            for i in range(0, len(group), args.batch):
-                chunk = group[i:i + args.batch]
-                # Pad short tail chunks up to the batch size so the cached
-                # B-sized program is reused instead of compiling a new one.
-                imgs = [c["image"] for c in chunk]
-                while len(imgs) < args.batch:
-                    imgs.append(imgs[-1])
-                t0 = time.perf_counter()
-                rs = pipe.segment_batch(
-                    imgs,
-                    threshold_fg=args.threshold,
-                    threshold_bg=args.threshold,
-                    keep_largest=args.keep_largest,
-                    filter_radius=args.filter_radius)[:len(chunk)]
-                dt = (time.perf_counter() - t0) / len(chunk)
-                for r, c in zip(rs, chunk):
-                    results_gt.append((r, c["gt_mask"]))
-                    times.append(dt)
+            # segment_stream pipelines the group: batch i+1's upload and
+            # device program run while batch i's packed output is pulled
+            # (tail chunks are padded internally to one compile signature).
+            imgs = [c["image"] for c in group]
+            t0 = time.perf_counter()
+            rs = list(pipe.segment_stream(
+                imgs, batch_size=args.batch,
+                threshold_fg=args.threshold,
+                threshold_bg=args.threshold,
+                keep_largest=args.keep_largest,
+                filter_radius=args.filter_radius,
+                want_segments=False))
+            dt = (time.perf_counter() - t0) / len(group)
+            for r, c in zip(rs, group):
+                results_gt.append((r, c["gt_mask"]))
+                times.append(dt)
         for r, gt in results_gt:
             m = evaluate(r.binary_mask, gt)
             ious.append(m.iou)

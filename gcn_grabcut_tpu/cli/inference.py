@@ -142,7 +142,8 @@ def main(argv=None):
                 [b[1] for b in buf], threshold_fg=args.threshold,
                 threshold_bg=args.threshold,
                 keep_largest=args.keep_largest,
-                filter_radius=args.filter_radius)
+                filter_radius=args.filter_radius,
+                want_segments=False)   # outputs don't use the label map
         per = (time.perf_counter() - t) / len(buf)
         for (f, _, hw0), res in zip(buf, results):
             emit(f, res, hw0, per)

@@ -156,7 +156,9 @@ class Batcher:
                 imgs, threshold_fg=opts["threshold"],
                 threshold_bg=opts["threshold"],
                 keep_largest=opts["keep_largest"],
-                filter_radius=opts["filter_radius"])
+                filter_radius=opts["filter_radius"],
+                want_segments=False)   # serving returns masks only —
+            # dropping the label map cuts the per-batch d2h pull ~6x.
             dt = time.perf_counter() - t0
             for r, res in zip(group, results):
                 r.result = (_unbox(res.binary_mask, r.geom), dt)

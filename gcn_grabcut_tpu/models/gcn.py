@@ -56,6 +56,12 @@ class GCNTrimapNet(nn.Module):
             adj = dense_adjacency(g.edge_src, g.edge_dst, g.edge_mask, N)
             adj_gcn = gcn_norm_adjacency(adj)
 
+        # One dst-sort shared by every layer's edge gate (see gat.py).
+        order = jnp.argsort(g.edge_dst, axis=1)
+        e_dst = jnp.take_along_axis(g.edge_dst, order, axis=1)
+        e_attr = jnp.take_along_axis(g.edge_attr, order[..., None], axis=1)
+        e_mask = jnp.take_along_axis(g.edge_mask, order, axis=1)
+
         all_h = [h]
         for i in range(self.n_layers):
             u = GCNConv(D, dtype=self.dtype, name=f"gcn_{i}")(h, adj_gcn)
@@ -65,7 +71,7 @@ class GCNTrimapNet(nn.Module):
             u = drop(u)
             u = u + h  # same-width skip (reference uses Identity here)
             u = EdgeInjection(D, dtype=self.dtype, name=f"edge_{i}")(
-                g.edge_attr, g.edge_dst, g.edge_mask, u)
+                e_attr, e_dst, e_mask, u, pre_sorted=True)
             h = u
             all_h.append(h)
 

@@ -120,8 +120,15 @@ class GATv2Conv(nn.Module):
 
     e_ij = a_h^T LeakyReLU(W_l x_j + W_r x_i + W_e attr_ij); attention is a
     per-destination masked segment softmax; heads are concatenated.  Self
-    loops are appended with mean-filled edge attributes (PyG default
-    fill_value="mean").
+    loops use mean-filled edge attributes (PyG default fill_value="mean")
+    and are folded in DENSELY — the loop's score/message for node i is a
+    (G, N, H) elementwise term added outside the segment reductions, so the
+    scattered edge list stays length E instead of E + N.
+
+    `pre_sorted=True` asserts the edge arrays are already sorted by
+    destination (callers that run several attention layers over one graph —
+    GATTrimapNet — sort once per forward instead of once per layer); the
+    per-node outputs are edge-order independent either way.
     """
     features: int          # per-head output dim
     heads: int = 8
@@ -130,7 +137,7 @@ class GATv2Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, edge_mask,
-                 node_mask):
+                 node_mask, pre_sorted: bool = False):
         G, N, _ = x.shape
         H, F = self.heads, self.features
 
@@ -143,48 +150,51 @@ class GATv2Conv(nn.Module):
         em = edge_mask[..., None]
         attr_mean = (jnp.sum(edge_attr * em, axis=1, keepdims=True)
                      / jnp.maximum(jnp.sum(em, axis=1, keepdims=True), 1.0))
-        loop_idx = jnp.broadcast_to(jnp.arange(N, dtype=edge_src.dtype),
-                                    (G, N))
-        src = jnp.concatenate([edge_src, loop_idx], axis=1)
-        dst = jnp.concatenate([edge_dst, loop_idx], axis=1)
-        attr = jnp.concatenate(
-            [edge_attr, jnp.broadcast_to(attr_mean,
-                                         (G, N, edge_attr.shape[-1]))], axis=1)
-        mask = jnp.concatenate([edge_mask, node_mask], axis=1)
-
-        ea = nn.Dense(H * F, use_bias=False, kernel_init=KAIMING,
-                      dtype=self.dtype, name="lin_edge")(attr)
-        ea = ea.reshape(G, -1, H, F)
+        lin_edge = nn.Dense(H * F, use_bias=False, kernel_init=KAIMING,
+                            dtype=self.dtype, name="lin_edge")
+        ea = lin_edge(edge_attr).reshape(G, -1, H, F)
+        ea_loop = lin_edge(attr_mean).reshape(G, 1, H, F)
 
         att = self.param("att", KAIMING, (H, F))
 
-        def per_graph(xl_g, xr_g, src_g, dst_g, ea_g, m_g):
-            # Destination-sort the edge list once: the three segment
-            # reductions below then take the sorted-scatter lowering
-            # (unsorted scatters both run and COMPILE pathologically on
-            # this backend — see ops/spmm.py).  Per-node outputs are
-            # order-independent.
-            order = jnp.argsort(dst_g)
-            src_g, dst_g = src_g[order], dst_g[order]
-            ea_g, m_g = ea_g[order], m_g[order]
-            z = xl_g[src_g] + xr_g[dst_g] + ea_g          # (E', H, F)
+        def per_graph(xl_g, xr_g, src_g, dst_g, ea_g, m_g, nm_g, eal_g):
+            if not pre_sorted:
+                # Destination-sort so the segment reductions take the
+                # sorted-scatter lowering (unsorted scatters both run and
+                # COMPILE pathologically on this backend — see ops/spmm.py).
+                order = jnp.argsort(dst_g)
+                src_g, dst_g = src_g[order], dst_g[order]
+                ea_g, m_g = ea_g[order], m_g[order]
+            z = xl_g[src_g] + xr_g[dst_g] + ea_g          # (E, H, F)
             z = nn.leaky_relu(z, self.negative_slope)
             score = jnp.einsum("ehf,hf->eh", z, att.astype(z.dtype))
-            # per-destination softmax, fp32 island
+            # Self-loop score, dense: z_ii = LeakyReLU(xl_i + xr_i + ea_mean).
+            zl = nn.leaky_relu(xl_g + xr_g + eal_g, self.negative_slope)
+            sl = jnp.einsum("nhf,hf->nh", zl,
+                            att.astype(zl.dtype)).astype(jnp.float32)
+            sl = jnp.where(nm_g[:, None] > 0, sl, -1e30)
+            # Per-destination softmax over {edges into i} ∪ {loop i},
+            # fp32 island.
             s = score.astype(jnp.float32)
             s = jnp.where(m_g[:, None] > 0, s, -1e30)
             peak = jax.ops.segment_max(s, dst_g, num_segments=N,
                                        indices_are_sorted=True)
-            peak = jnp.where(jnp.isfinite(peak), peak, 0.0)
+            peak = jnp.maximum(jnp.where(jnp.isfinite(peak), peak, -1e30),
+                               sl)
             ex = jnp.exp(s - peak[dst_g]) * m_g[:, None]
+            exl = jnp.exp(sl - peak) * nm_g[:, None]       # (N, H)
             tot = jax.ops.segment_sum(ex, dst_g, num_segments=N,
-                                      indices_are_sorted=True)
+                                      indices_are_sorted=True) + exl
             alpha = (ex / (tot[dst_g] + 1e-12)).astype(z.dtype)
-            msg = xl_g[src_g] * alpha[..., None]           # (E', H, F)
-            return jax.ops.segment_sum(msg, dst_g, num_segments=N,
-                                       indices_are_sorted=True)
+            alpha_l = (exl / (tot + 1e-12)).astype(z.dtype)
+            msg = xl_g[src_g] * alpha[..., None]           # (E, H, F)
+            out = jax.ops.segment_sum(msg, dst_g, num_segments=N,
+                                      indices_are_sorted=True)
+            return out + xl_g * alpha_l[..., None]
 
-        out = jax.vmap(per_graph)(xl, xr, src, dst, ea, mask)
+        out = jax.vmap(per_graph)(xl, xr, edge_src, edge_dst, ea, edge_mask,
+                                  node_mask,
+                                  jnp.broadcast_to(ea_loop, (G, 1, H, F)))
         out = out.reshape(G, N, H * F)
         bias = self.param("bias", nn.initializers.zeros, (H * F,))
         return out + bias.astype(out.dtype)
@@ -228,7 +238,8 @@ class EdgeInjection(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, edge_attr, edge_dst, edge_mask, node_updates):
+    def __call__(self, edge_attr, edge_dst, edge_mask, node_updates,
+                 pre_sorted: bool = False):
         n_nodes = node_updates.shape[1]
         h = nn.Dense(self.hidden_dim, kernel_init=KAIMING,
                      dtype=self.dtype)(edge_attr)
@@ -237,10 +248,11 @@ class EdgeInjection(nn.Module):
         h = nn.sigmoid(h)
 
         def scatter_mean_g(vals, dst, m):
-            # dst-sorted scatter: unsorted segment sums compile and run
-            # pathologically on this backend at 10k+-node edge counts.
-            order = jnp.argsort(dst)
-            vals, dst, m = vals[order], dst[order], m[order]
+            if not pre_sorted:
+                # dst-sorted scatter: unsorted segment sums compile and run
+                # pathologically on this backend at 10k+-node edge counts.
+                order = jnp.argsort(dst)
+                vals, dst, m = vals[order], dst[order], m[order]
             w = m[:, None]
             tot = jax.ops.segment_sum(vals * w, dst, num_segments=n_nodes,
                                       indices_are_sorted=True)

@@ -224,21 +224,64 @@ def _trimap_stage_device(probs, segments, grays, priors, node_masks,
     return jax.vmap(one)(px, grays)
 
 
-@functools.partial(jax.jit, static_argnames=("keep_largest",))
+@functools.partial(jax.jit, static_argnames=("keep_largest",
+                                             "want_segments"))
 def _post_stage_device(masks, trimaps, segments, min_area,
-                       keep_largest: bool):
-    """Batched component clean-up + output packing as one jit: returns a
-    (4, B, H, W) uint8 stack — cleaned masks, trimaps, and the label map
-    split into low/high bytes (K < 65536) — so the batch's entire output
-    rides ONE host transfer (each separate pull pays the tunnel's
-    per-transfer round trip)."""
+                       keep_largest: bool, want_segments: bool = True):
+    """Batched component clean-up + output packing as one jit.
+
+    Returns one (B, bytes) uint8 buffer so the batch's entire output rides
+    ONE host transfer, bit-packed for the ~40 MB/s tunnel: the binary mask
+    is 1 bit/px, the 4-label trimap 2 bits/px, and the optional label map
+    two bytes/px (K < 65536).  At 512² that is 98 KB/image without the
+    label map (vs 1 MB unpacked) — the d2h pull stops being a pipeline
+    stage.  `_unpack_post_host` is the inverse."""
     from .ops.connected import _clean_mask_jit
     cleaned = jax.vmap(
         lambda m: _clean_mask_jit(m, min_area, keep_largest))(masks)
-    seg16 = segments.astype(jnp.uint16)
-    return jnp.stack([cleaned.astype(jnp.uint8), trimaps,
-                      (seg16 & 0xFF).astype(jnp.uint8),
-                      (seg16 >> 8).astype(jnp.uint8)])
+    B, H, W = masks.shape
+    hw = H * W
+
+    def pad_flat(a, mult):
+        flat = a.reshape(B, hw)
+        return jnp.pad(flat, ((0, 0), (0, (-hw) % mult)))
+
+    m = pad_flat(cleaned.astype(jnp.int32), 8).reshape(B, -1, 8)
+    shifts = jnp.arange(8, dtype=jnp.int32)
+    mask_bits = jnp.sum(m << shifts, axis=-1).astype(jnp.uint8)
+
+    t = pad_flat(trimaps.astype(jnp.uint8), 4).reshape(B, -1, 4)
+    tri2 = (t[..., 0] | (t[..., 1] << 2) | (t[..., 2] << 4)
+            | (t[..., 3] << 6)).astype(jnp.uint8)
+
+    parts = [mask_bits, tri2]
+    if want_segments:
+        seg16 = segments.astype(jnp.uint16).reshape(B, hw)
+        parts += [(seg16 & 0xFF).astype(jnp.uint8),
+                  (seg16 >> 8).astype(jnp.uint8)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _unpack_post_host(packed: np.ndarray, H: int, W: int,
+                      want_segments: bool):
+    """Host-side inverse of `_post_stage_device`'s bit packing."""
+    B = packed.shape[0]
+    hw = H * W
+    n8, n4 = -(-hw // 8), -(-hw // 4)
+    mask_bits, off = packed[:, :n8], n8
+    masks = np.unpackbits(mask_bits, axis=-1,
+                          bitorder="little")[:, :hw].reshape(B, H, W)
+    tri2, off = packed[:, off:off + n4], off + n4
+    tri = np.empty((B, n4 * 4), np.uint8)
+    for i in range(4):
+        tri[:, i::4] = (tri2 >> (2 * i)) & 3
+    trimaps = tri[:, :hw].reshape(B, H, W)
+    segments = None
+    if want_segments:
+        lo = packed[:, off:off + hw].astype(np.int32)
+        hi = packed[:, off + hw:off + 2 * hw].astype(np.int32)
+        segments = (lo | (hi << 8)).reshape(B, H, W)
+    return masks, trimaps, segments
 
 
 class GCNGrabCutPipeline:
@@ -347,17 +390,70 @@ class GCNGrabCutPipeline:
                       min_area_ratio: float = 0.002,
                       keep_largest: bool = False,
                       filter_radius: int = 8,
+                      want_segments: bool = True,
                       sync_timing: bool = False) -> list[SegmentationResult]:
         """Segment a batch of same-size images, device-resident end to end.
 
         One vmapped fused graph build, one stacked (B, N, F) model forward
         (the per-graph attention readout stays per-image by construction),
         vmapped trimap refinement, prior seeding, GrabCut and component
-        clean-up — arrays never leave the device until the final mask /
-        trimap / segments pull (the tunnel-attached chip moves host data
-        at ~40 MB/s, so intermediate pulls dominated this path before).
-        The batched-inference configuration (BASELINE configs[2]).
+        clean-up — arrays never leave the device until the final bit-packed
+        pull (the tunnel-attached chip moves host data at ~40 MB/s, so
+        intermediate pulls dominated this path before).  The
+        batched-inference configuration (BASELINE configs[2]).
+
+        `want_segments=False` drops the superpixel label map from the
+        output transfer (2 of its 2.375 bytes/px) for throughput paths
+        that only consume masks/trimaps; `result.segments` is then None.
         """
+        handle = self._dispatch_batch(
+            images, threshold_fg=threshold_fg, threshold_bg=threshold_bg,
+            min_area_ratio=min_area_ratio, keep_largest=keep_largest,
+            filter_radius=filter_radius, want_segments=want_segments,
+            sync_timing=sync_timing)
+        return self._finalize_batch(handle)
+
+    def segment_stream(self, images, batch_size: int = 8,
+                       threshold_fg: float = 0.55, threshold_bg: float = 0.55,
+                       min_area_ratio: float = 0.002,
+                       keep_largest: bool = False,
+                       filter_radius: int = 8,
+                       want_segments: bool = True):
+        """Generator over SegmentationResults with cross-batch pipelining.
+
+        Keeps two batches in flight: batch i+1's upload and device program
+        are dispatched (asynchronously) before batch i's packed output is
+        pulled, so host↔device transfers ride under device compute instead
+        of serialising with it — the steady-state throughput mode for bulk
+        evaluation and serving.  The final partial chunk is padded to
+        `batch_size` by repetition (one compile signature) and the padding
+        dropped from the yielded results.
+        """
+        images = list(images)
+        if not images:
+            return
+        pending: list = []
+        for start in range(0, len(images), batch_size):
+            chunk = images[start:start + batch_size]
+            n_real = len(chunk)
+            chunk = chunk + [chunk[-1]] * (batch_size - n_real)
+            handle = self._dispatch_batch(
+                chunk, threshold_fg=threshold_fg, threshold_bg=threshold_bg,
+                min_area_ratio=min_area_ratio, keep_largest=keep_largest,
+                filter_radius=filter_radius, want_segments=want_segments,
+                sync_timing=False)
+            pending.append((handle, n_real))
+            if len(pending) > 1:
+                h, n = pending.pop(0)
+                yield from self._finalize_batch(h)[:n]
+        for h, n in pending:
+            yield from self._finalize_batch(h)[:n]
+
+    def _dispatch_batch(self, images, threshold_fg, threshold_bg,
+                        min_area_ratio, keep_largest, filter_radius,
+                        want_segments, sync_timing):
+        """Upload + dispatch every device stage; no output pull (the
+        returned handle's `packed` is a live device array)."""
         from .core.graph import make_graph_batch
         from .graph_build import build_graph_batch_arrays
         from .grabcut import grabcut_batch_device, run_batch_with_trimaps
@@ -430,20 +526,30 @@ class GCNGrabCutPipeline:
 
         t = time.perf_counter()
         min_area = jnp.float32(min_area_ratio * H * W)
-        # The single host pull of the whole batch's outputs, compacted for
-        # the ~40 MB/s tunnel: masks, trimaps and the byte-split uint16
-        # label map ride ONE uint8 transfer.
-        packed = np.asarray(
-            _post_stage_device(masks, trimaps, segments, min_area,
-                               keep_largest))
-        masks_np, trimaps_np = packed[0], packed[1]
-        segments_np = (packed[2].astype(np.int32)
-                       | (packed[3].astype(np.int32) << 8))
+        # Bit-packed single-buffer output (see _post_stage_device); the
+        # pull itself happens in _finalize_batch so segment_stream can
+        # overlap it with the next batch's device work.
+        packed = _post_stage_device(masks, trimaps, segments, min_area,
+                                    keep_largest, want_segments)
+        _sync(packed)
         timing["postprocess"] = time.perf_counter() - t
+        return {"packed": packed, "images": images, "H": H, "W": W,
+                "want_segments": want_segments, "timing": timing}
+
+    def _finalize_batch(self, handle) -> list[SegmentationResult]:
+        """Pull the batch's packed device buffer (the one d2h transfer)
+        and assemble SegmentationResults."""
+        timing = dict(handle["timing"])
+        t = time.perf_counter()
+        packed = np.asarray(handle["packed"])
+        masks_np, trimaps_np, segments_np = _unpack_post_host(
+            packed, handle["H"], handle["W"], handle["want_segments"])
+        timing["postprocess"] = timing.get("postprocess", 0.0) + (
+            time.perf_counter() - t)
 
         results = []
         tint = np.array([0, 220, 100], np.float32)
-        for b, image in enumerate(images):
+        for b, image in enumerate(handle["images"]):
             mask = masks_np[b]
             binary = mask[..., None].astype(np.float32)
             overlay = np.clip(image * (1 - 0.45 * binary)
@@ -453,8 +559,8 @@ class GCNGrabCutPipeline:
                 [image, (mask * 255)[..., None]], axis=-1).astype(np.uint8)
             results.append(SegmentationResult(
                 image=image, binary_mask=mask, trimap=trimaps_np[b],
-                segments=segments_np[b], overlay=overlay, rgba=rgba,
-                timing=dict(timing)))
+                segments=None if segments_np is None else segments_np[b],
+                overlay=overlay, rgba=rgba, timing=dict(timing)))
         return results
 
     def segment_bbox(self, image: np.ndarray,

@@ -248,6 +248,65 @@ class TestBatchedPipeline:
         pipe.segment_batch(imgs, threshold_fg=0.7, threshold_bg=0.55)
         assert [f._cache_size() for f in jits] == sizes
 
+    def test_post_stage_pack_roundtrip(self):
+        """The bit-packed output buffer (1-bit mask, 2-bit trimap, 2-byte
+        labels) must invert exactly through _unpack_post_host, including
+        at a non-multiple-of-8 pixel count."""
+        import jax.numpy as jnp
+        from gcn_grabcut_tpu.pipeline import (_post_stage_device,
+                                              _unpack_post_host)
+        r = np.random.RandomState(0)
+        B, H, W = 3, 21, 13   # H*W = 273: not divisible by 4 or 8
+        masks = jnp.asarray(r.randint(0, 2, (B, H, W)), jnp.uint8)
+        tris = jnp.asarray(r.randint(0, 4, (B, H, W)), jnp.uint8)
+        segs = jnp.asarray(r.randint(0, 700, (B, H, W)), jnp.int32)
+        packed = np.asarray(_post_stage_device(
+            masks, tris, segs, jnp.float32(0.0), False, True))
+        m, t, s = _unpack_post_host(packed, H, W, True)
+        # The mask plane carries the component-cleaned mask; compare
+        # against clean-up applied directly.
+        from gcn_grabcut_tpu.ops.connected import _clean_mask_jit
+        expected = np.stack([np.asarray(_clean_mask_jit(
+            masks[b], jnp.float32(0.0), False)) for b in range(B)])
+        np.testing.assert_array_equal(m, expected)
+        np.testing.assert_array_equal(t, np.asarray(tris))
+        np.testing.assert_array_equal(s, np.asarray(segs))
+        packed2 = np.asarray(_post_stage_device(
+            masks, tris, segs, jnp.float32(0.0), False, False))
+        assert packed2.shape[1] < packed.shape[1]
+        m2, t2, s2 = _unpack_post_host(packed2, H, W, False)
+        np.testing.assert_array_equal(m2, expected)
+        np.testing.assert_array_equal(t2, np.asarray(tris))
+        assert s2 is None
+
+    def test_segment_stream_matches_batch(self, circle_image):
+        """segment_stream pipelines batches but must yield exactly the
+        batch path's results, including a padded final partial chunk."""
+        import jax
+        img, _ = circle_image
+        imgs = [img, img[:, ::-1].copy(), img[::-1].copy()]
+        model = build_model("resgcn", hidden_channels=24, n_layers=2)
+        g = build_graph(imgs[0], SuperpixelGraphConfig(n_segments=60)).graph
+        vs = init_model(model, jax.random.PRNGKey(0), g)
+        pipe = GCNGrabCutPipeline(model, vs,
+                                  SuperpixelGraphConfig(n_segments=60),
+                                  GrabCutConfig(n_iter=1))
+        streamed = list(pipe.segment_stream(imgs, batch_size=2))
+        assert len(streamed) == 3
+        ref0 = pipe.segment_batch(imgs[:2])
+        np.testing.assert_array_equal(streamed[0].binary_mask,
+                                      ref0[0].binary_mask)
+        np.testing.assert_array_equal(streamed[1].binary_mask,
+                                      ref0[1].binary_mask)
+        # Padded partial chunk: result 2 equals a solo batch of image 2.
+        ref2 = pipe.segment_batch(imgs[2:] * 2)
+        np.testing.assert_array_equal(streamed[2].binary_mask,
+                                      ref2[0].binary_mask)
+        lean = pipe.segment_batch(imgs[:2], want_segments=False)
+        assert lean[0].segments is None
+        np.testing.assert_array_equal(lean[0].binary_mask,
+                                      ref0[0].binary_mask)
+
     def test_hard_synthetic_generator(self):
         from gcn_grabcut_tpu.data.dataset import make_hard_synthetic_dataset
         s = make_hard_synthetic_dataset(n=4, size=96, seed=0)

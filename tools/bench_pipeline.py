@@ -74,6 +74,17 @@ def main():
         best = ips if best is None else max(best, ips)
     print(f"best: {best:.2f} img/s")
 
+    # Steady-state streaming throughput: cross-batch pipelining overlaps
+    # batch i+1's upload + device program with batch i's packed pull.
+    n_stream = 3 * args.batch
+    t0 = time.perf_counter()
+    n_out = sum(1 for _ in pipe.segment_stream(
+        imgs[:n_stream], batch_size=args.batch, threshold_fg=0.65,
+        threshold_bg=0.65, filter_radius=4, want_segments=False))
+    dt = time.perf_counter() - t0
+    print(f"stream ({n_out} imgs, no label map): {dt:.2f}s  "
+          f"({n_out / dt:.2f} img/s)")
+
     # One per-stage breakdown with stage-boundary syncs (slower overall —
     # the syncs serialise the stages — but each number is real device time).
     rs = pipe.segment_batch(imgs[:args.batch], threshold_fg=0.65,
