@@ -32,6 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--threshold", type=float, default=0.65)
     p.add_argument("--filter-radius", type=int, default=4)
     p.add_argument("--keep-largest", action="store_true")
+    p.add_argument("--ms-scales", type=str, default=None,
+                   help="comma-separated inference scales, first must be "
+                        "1.0 (e.g. '1.0,0.75'): per-scale class planes are "
+                        "averaged before thresholding)")
     p.add_argument("--batch", type=int, default=0,
                    help="segment in batches of this size (same-size images)")
     p.add_argument("--ablation", action="store_true",
@@ -62,6 +66,8 @@ def main(argv=None):
     model, variables, meta = load_model_from_checkpoint(args.checkpoint)
     sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
     pipe = GCNGrabCutPipeline(model, variables, sp_cfg)
+    ms_scales = (tuple(float(s) for s in args.ms_scales.split(","))
+                 if args.ms_scales else None)
 
     if args.hard_synthetic:
         samples = make_hard_synthetic_dataset(
@@ -103,7 +109,7 @@ def main(argv=None):
                 threshold_bg=args.threshold,
                 keep_largest=args.keep_largest,
                 filter_radius=args.filter_radius,
-                want_segments=False))
+                want_segments=False, ms_scales=ms_scales))
             dt = (time.perf_counter() - t0) / len(group)
             for r, c in zip(rs, group):
                 results_gt.append((r, c["gt_mask"]))
@@ -121,7 +127,7 @@ def main(argv=None):
         res = pipe.segment(
             img, threshold_fg=args.threshold, threshold_bg=args.threshold,
             keep_largest=args.keep_largest,
-            filter_radius=args.filter_radius)
+            filter_radius=args.filter_radius, ms_scales=ms_scales)
         times.append(time.perf_counter() - t0)
         m = evaluate(res.binary_mask, gt)
         ious.append(m.iou)

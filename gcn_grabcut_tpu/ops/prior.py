@@ -73,24 +73,38 @@ def _unit_norm_masked(v: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("k",))
 def compute_auto_prior(segments: jnp.ndarray, lab: jnp.ndarray, k: int,
                        centre_sigma: float = 0.45,
-                       contrast_sigma: float = 0.40) -> jnp.ndarray:
-    """(K, 3) prior [fg-ness, bg-ness, ambiguity], each in [0, 1]."""
+                       contrast_sigma: float = 0.40,
+                       stats: tuple | None = None) -> jnp.ndarray:
+    """(K, 3) prior [fg-ness, bg-ness, ambiguity], each in [0, 1].
+
+    `stats=(counts, mean_lab, centroids)` supplies the per-region moments
+    when the caller already has them (the fused graph build computes them
+    in region_statistics' single segment pass); without it they are
+    recomputed here — several extra O(HW) segment scatters per image.
+    """
     H, W = segments.shape
     flat = segments.reshape(-1)
 
-    ones = jnp.ones_like(flat, jnp.float32)
-    counts = jax.ops.segment_sum(ones, flat, num_segments=k)
-    safe = jnp.maximum(counts, 1.0)
-    valid = (counts > 0).astype(jnp.float32)
+    if stats is not None:
+        counts, mean_lab, centroids = stats
+        counts = counts.astype(jnp.float32)
+        safe = jnp.maximum(counts, 1.0)
+        valid = (counts > 0).astype(jnp.float32)
+    else:
+        ones = jnp.ones_like(flat, jnp.float32)
+        counts = jax.ops.segment_sum(ones, flat, num_segments=k)
+        safe = jnp.maximum(counts, 1.0)
+        valid = (counts > 0).astype(jnp.float32)
 
-    lab_sum = jax.ops.segment_sum(lab.reshape(-1, 3), flat, num_segments=k)
-    mean_lab = lab_sum / safe[:, None]
+        lab_sum = jax.ops.segment_sum(lab.reshape(-1, 3), flat,
+                                      num_segments=k)
+        mean_lab = lab_sum / safe[:, None]
 
-    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) / H
-    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) / W
-    cy = jax.ops.segment_sum(yy.reshape(-1), flat, num_segments=k) / safe
-    cx = jax.ops.segment_sum(xx.reshape(-1), flat, num_segments=k) / safe
-    centroids = jnp.stack([cy, cx], axis=1)
+        yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0) / H
+        xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1) / W
+        cy = jax.ops.segment_sum(yy.reshape(-1), flat, num_segments=k) / safe
+        cx = jax.ops.segment_sum(xx.reshape(-1), flat, num_segments=k) / safe
+        centroids = jnp.stack([cy, cx], axis=1)
 
     # --- Cue 1: spatially weighted global colour contrast ------------------
     area_w = counts / jnp.maximum(jnp.sum(counts), 1.0)

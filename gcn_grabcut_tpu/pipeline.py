@@ -29,7 +29,7 @@ from .graph_build import SuperpixelGraphConfig, RegionGraph, build_graph
 from .grabcut import GrabCut, GrabCutConfig
 from .metrics import evaluate, evaluate_trimap
 from .models.factory import (
-    apply_model, probs_to_node_trimap, project_to_pixels,
+    apply_model, probs_to_node_trimap, project_to_pixels, project_planes,
 )
 from .ops import image as im
 from .ops.connected import clean_mask
@@ -198,30 +198,84 @@ def _trimap_stage_device(probs, segments, grays, priors, node_masks,
 
     packed = jax.vmap(node_side)(probs, priors, node_masks)    # (B, K, 4)
     px = jax.vmap(project_planes)(packed, segments)            # (B, H, W, 4)
+    return jax.vmap(
+        lambda px1, gray: _threshold_and_seed(px1, gray, thr_fg, thr_bg,
+                                              filter_radius))(px, grays)
 
-    def one(px1, gray):
-        p_bg = jnp.clip(im.guided_filter(
-            gray, px1[..., 0], filter_radius, 1e-3), 0, 1)
-        p_fg = jnp.clip(im.guided_filter(
-            gray, px1[..., 1], filter_radius, 1e-3), 0, 1)
-        tri = jnp.where(p_fg > p_bg, TRIMAP_PROB_FG, TRIMAP_PROB_BG)
-        tri = jnp.where(p_bg >= thr_bg, TRIMAP_BG, tri)
-        tri = jnp.where(p_fg >= thr_fg, TRIMAP_FG, tri)
-        tri = tri.astype(jnp.uint8)
-        # seed_from_prior, branchless (reference pipeline.py:149-186): when
-        # a probable side is missing entirely, promote the ~seed_frac
-        # highest-prior regions to it.
-        has_fg = jnp.any((tri == TRIMAP_FG) | (tri == TRIMAP_PROB_FG))
-        has_bg = jnp.any((tri == TRIMAP_BG) | (tri == TRIMAP_PROB_BG))
-        tri = jnp.where(has_fg, tri,
-                        jnp.where(px1[..., 2] > 0,
-                                  jnp.uint8(TRIMAP_PROB_FG), tri))
-        tri = jnp.where(has_bg, tri,
-                        jnp.where(px1[..., 3] > 0,
-                                  jnp.uint8(TRIMAP_PROB_BG), tri))
-        return tri
 
-    return jax.vmap(one)(px, grays)
+def _threshold_and_seed(px1, gray, thr_fg, thr_bg, filter_radius: int):
+    """(H, W, 4) planes [P(BG), P(FG), seed_fg, seed_bg] → uint8 trimap.
+    Shared by the single-scale and multi-scale trimap stages."""
+    p_bg = jnp.clip(im.guided_filter(
+        gray, px1[..., 0], filter_radius, 1e-3), 0, 1)
+    p_fg = jnp.clip(im.guided_filter(
+        gray, px1[..., 1], filter_radius, 1e-3), 0, 1)
+    tri = jnp.where(p_fg > p_bg, TRIMAP_PROB_FG, TRIMAP_PROB_BG)
+    tri = jnp.where(p_bg >= thr_bg, TRIMAP_BG, tri)
+    tri = jnp.where(p_fg >= thr_fg, TRIMAP_FG, tri)
+    tri = tri.astype(jnp.uint8)
+    # seed_from_prior, branchless (reference pipeline.py:149-186): when
+    # a probable side is missing entirely, promote the ~seed_frac
+    # highest-prior regions to it.
+    has_fg = jnp.any((tri == TRIMAP_FG) | (tri == TRIMAP_PROB_FG))
+    has_bg = jnp.any((tri == TRIMAP_BG) | (tri == TRIMAP_PROB_BG))
+    tri = jnp.where(has_fg, tri,
+                    jnp.where(px1[..., 2] > 0,
+                              jnp.uint8(TRIMAP_PROB_FG), tri))
+    tri = jnp.where(has_bg, tri,
+                    jnp.where(px1[..., 3] > 0,
+                              jnp.uint8(TRIMAP_PROB_BG), tri))
+    return tri
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def _project_probs_device(probs, segments, out_hw: tuple):
+    """(B, K, 3) probs + (B, h, w) segments → (B, H, W, 2) pixel planes
+    [P(BG), P(FG)], bilinearly upsampled to `out_hw` when the graph was
+    built at a reduced scale (the multi-scale path)."""
+    pk = jnp.stack([probs[..., CLASS_BG], probs[..., CLASS_FG]],
+                   axis=-1).astype(jnp.float32)
+    px = jax.vmap(project_planes)(pk, segments)
+    if px.shape[1:3] != tuple(out_hw):
+        px = jax.image.resize(px, (px.shape[0], *out_hw, 2), "linear")
+    return px
+
+
+@functools.partial(jax.jit, static_argnames=("hw",))
+def _resize_batch_device(rgbs, hw: tuple):
+    """Bilinear batch resize on device (multi-scale path)."""
+    return jax.image.resize(rgbs, (rgbs.shape[0], *hw, 3), "linear")
+
+
+@functools.partial(jax.jit, static_argnames=("filter_radius",))
+def _trimap_stage_ms_device(px_stack, grays, priors, node_masks, segments,
+                            thr_fg, thr_bg, filter_radius: int,
+                            seed_frac: float = 0.1):
+    """Multi-scale trimap stage: `px_stack` is (S, B, H, W, 2) per-scale
+    pixel probability planes (scale 0 = full resolution); they are averaged
+    and thresholded exactly like the single-scale stage.  Prior seed masks
+    come from the full-resolution graph."""
+    px_mean = jnp.mean(px_stack, axis=0)                       # (B, H, W, 2)
+
+    def seed_planes(prior, nm):
+        n_valid = jnp.maximum(jnp.sum(nm), 1.0)
+        n_seed = jnp.maximum(
+            1, jnp.round(seed_frac * n_valid)).astype(jnp.int32)
+
+        def seed_mask(score):
+            s = jnp.where(nm > 0, score, -1.0)
+            kth = jnp.sort(s)[::-1][jnp.minimum(n_seed - 1, s.shape[0] - 1)]
+            return (s >= kth).astype(jnp.float32)
+
+        return jnp.stack([seed_mask(prior[:, 0]), seed_mask(prior[:, 1])],
+                         axis=-1)
+
+    seeds_k = jax.vmap(seed_planes)(priors, node_masks)        # (B, K, 2)
+    seeds_px = jax.vmap(project_planes)(seeds_k, segments)     # (B, H, W, 2)
+    px = jnp.concatenate([px_mean, seeds_px], axis=-1)
+    return jax.vmap(
+        lambda px1, gray: _threshold_and_seed(px1, gray, thr_fg, thr_bg,
+                                              filter_radius))(px, grays)
 
 
 @functools.partial(jax.jit, static_argnames=("keep_largest",
@@ -242,17 +296,22 @@ def _post_stage_device(masks, trimaps, segments, min_area,
     B, H, W = masks.shape
     hw = H * W
 
-    def pad_flat(a, mult):
-        flat = a.reshape(B, hw)
-        return jnp.pad(flat, ((0, 0), (0, (-hw) % mult)))
+    def pack_planar(a, n_planes, bits):
+        # Planar layout: plane i holds pixels [i·n, (i+1)·n) and lands in
+        # bit-slot i·bits of each byte.  Every op stays on (B, n) arrays
+        # with a long minor axis — a (B, hw/8, 8) "8 bits per byte" layout
+        # put the 8-wide group on the lane dimension and cost ~1.5 s of
+        # relayouts at 8x512² on this backend.
+        flat = jnp.pad(a.reshape(B, hw).astype(jnp.int32),
+                       ((0, 0), (0, (-hw) % n_planes)))
+        planes = flat.reshape(B, n_planes, -1)
+        byte = planes[:, 0, :]
+        for i in range(1, n_planes):
+            byte = byte | (planes[:, i, :] << (i * bits))
+        return byte.astype(jnp.uint8)
 
-    m = pad_flat(cleaned.astype(jnp.int32), 8).reshape(B, -1, 8)
-    shifts = jnp.arange(8, dtype=jnp.int32)
-    mask_bits = jnp.sum(m << shifts, axis=-1).astype(jnp.uint8)
-
-    t = pad_flat(trimaps.astype(jnp.uint8), 4).reshape(B, -1, 4)
-    tri2 = (t[..., 0] | (t[..., 1] << 2) | (t[..., 2] << 4)
-            | (t[..., 3] << 6)).astype(jnp.uint8)
+    mask_bits = pack_planar(cleaned, 8, 1)
+    tri2 = pack_planar(trimaps, 4, 2)
 
     parts = [mask_bits, tri2]
     if want_segments:
@@ -268,14 +327,19 @@ def _unpack_post_host(packed: np.ndarray, H: int, W: int,
     B = packed.shape[0]
     hw = H * W
     n8, n4 = -(-hw // 8), -(-hw // 4)
-    mask_bits, off = packed[:, :n8], n8
-    masks = np.unpackbits(mask_bits, axis=-1,
-                          bitorder="little")[:, :hw].reshape(B, H, W)
-    tri2, off = packed[:, off:off + n4], off + n4
-    tri = np.empty((B, n4 * 4), np.uint8)
-    for i in range(4):
-        tri[:, i::4] = (tri2 >> (2 * i)) & 3
-    trimaps = tri[:, :hw].reshape(B, H, W)
+
+    def unpack_planar(byte, n_planes, bits):
+        n = byte.shape[1]
+        out = np.empty((B, n_planes * n), np.uint8)
+        lo_mask = (1 << bits) - 1
+        for i in range(n_planes):
+            out[:, i * n:(i + 1) * n] = (byte >> (i * bits)) & lo_mask
+        return out[:, :hw].reshape(B, H, W)
+
+    masks = unpack_planar(packed[:, :n8], 8, 1)
+    off = n8
+    trimaps = unpack_planar(packed[:, off:off + n4], 4, 2)
+    off += n4
     segments = None
     if want_segments:
         lo = packed[:, off:off + hw].astype(np.int32)
@@ -325,7 +389,8 @@ class GCNGrabCutPipeline:
                 threshold_fg: float = 0.55, threshold_bg: float = 0.55,
                 refine_iters: int = 0, min_area_ratio: float = 0.002,
                 keep_largest: bool = False, edge_aware: bool = True,
-                filter_radius: int = 8) -> SegmentationResult:
+                filter_radius: int = 8,
+                ms_scales: tuple | None = None) -> SegmentationResult:
         """Image in → mask out, fully automatic."""
         # The default configuration (edge-aware trimap, no extra refine
         # rounds) runs through the device-resident batched program at B=1:
@@ -342,7 +407,8 @@ class GCNGrabCutPipeline:
             return self.segment_batch(
                 [image], threshold_fg=threshold_fg,
                 threshold_bg=threshold_bg, min_area_ratio=min_area_ratio,
-                keep_largest=keep_largest, filter_radius=filter_radius)[0]
+                keep_largest=keep_largest, filter_radius=filter_radius,
+                ms_scales=ms_scales)[0]
 
         timing: dict = {}
 
@@ -391,6 +457,7 @@ class GCNGrabCutPipeline:
                       keep_largest: bool = False,
                       filter_radius: int = 8,
                       want_segments: bool = True,
+                      ms_scales: tuple | None = None,
                       sync_timing: bool = False) -> list[SegmentationResult]:
         """Segment a batch of same-size images, device-resident end to end.
 
@@ -410,7 +477,7 @@ class GCNGrabCutPipeline:
             images, threshold_fg=threshold_fg, threshold_bg=threshold_bg,
             min_area_ratio=min_area_ratio, keep_largest=keep_largest,
             filter_radius=filter_radius, want_segments=want_segments,
-            sync_timing=sync_timing)
+            sync_timing=sync_timing, ms_scales=ms_scales)
         return self._finalize_batch(handle)
 
     def segment_stream(self, images, batch_size: int = 8,
@@ -418,7 +485,8 @@ class GCNGrabCutPipeline:
                        min_area_ratio: float = 0.002,
                        keep_largest: bool = False,
                        filter_radius: int = 8,
-                       want_segments: bool = True):
+                       want_segments: bool = True,
+                       ms_scales: tuple | None = None):
         """Generator over SegmentationResults with cross-batch pipelining.
 
         Keeps two batches in flight: batch i+1's upload and device program
@@ -441,7 +509,7 @@ class GCNGrabCutPipeline:
                 chunk, threshold_fg=threshold_fg, threshold_bg=threshold_bg,
                 min_area_ratio=min_area_ratio, keep_largest=keep_largest,
                 filter_radius=filter_radius, want_segments=want_segments,
-                sync_timing=False)
+                sync_timing=False, ms_scales=ms_scales)
             pending.append((handle, n_real))
             if len(pending) > 1:
                 h, n = pending.pop(0)
@@ -451,7 +519,7 @@ class GCNGrabCutPipeline:
 
     def _dispatch_batch(self, images, threshold_fg, threshold_bg,
                         min_area_ratio, keep_largest, filter_radius,
-                        want_segments, sync_timing):
+                        want_segments, sync_timing, ms_scales=None):
         """Upload + dispatch every device stage; no output pull (the
         returned handle's `packed` is a live device array)."""
         from .core.graph import make_graph_batch
@@ -508,10 +576,40 @@ class GCNGrabCutPipeline:
         segments = out["segments"]
 
         grays = im.rgb_to_gray(rgbs) / 255.0
-        trimaps = _trimap_stage_device(
-            probs, segments, grays, out["prior"], out["node_mask"],
-            jnp.float32(threshold_fg), jnp.float32(threshold_bg),
-            filter_radius)
+        if ms_scales is not None and len(ms_scales) > 1 and not large:
+            # Multi-scale inference (no reference counterpart): rebuild the
+            # graph and re-run the forward at reduced scales, average the
+            # pixel-projected class planes, threshold once at full
+            # resolution.  Objects mis-sized for one superpixel budget are
+            # often recovered at another.
+            assert ms_scales[0] == 1.0, "ms_scales[0] must be 1.0"
+            px_list = [_project_probs_device(probs, segments, (H, W))]
+            for sc in ms_scales[1:]:
+                hs = max(int(round(H * sc)), 64)
+                ws = max(int(round(W * sc)), 64)
+                rgb_s = _resize_batch_device(rgbs, (hs, ws))
+                out_s = build_graph_batch_arrays(rgb_s, self.sp_config)
+                batch_s = make_graph_batch(
+                    x=out_s["x"], edge_src=out_s["edge_src"],
+                    edge_dst=out_s["edge_dst"], edge_attr=out_s["edge_attr"],
+                    node_mask=out_s["node_mask"],
+                    edge_mask=out_s["edge_mask"],
+                    node_area=out_s["node_area"])
+                logits_s = apply_model(self.model, self.variables, batch_s,
+                                       train=False)
+                probs_s = jax.nn.softmax(logits_s.astype(jnp.float32),
+                                         axis=-1)
+                px_list.append(_project_probs_device(
+                    probs_s, out_s["segments"], (H, W)))
+            trimaps = _trimap_stage_ms_device(
+                jnp.stack(px_list), grays, out["prior"], out["node_mask"],
+                segments, jnp.float32(threshold_fg),
+                jnp.float32(threshold_bg), filter_radius)
+        else:
+            trimaps = _trimap_stage_device(
+                probs, segments, grays, out["prior"], out["node_mask"],
+                jnp.float32(threshold_fg), jnp.float32(threshold_bg),
+                filter_radius)
         _sync(trimaps)
         timing["gcn_inference"] = time.perf_counter() - t
 

@@ -307,6 +307,28 @@ class TestBatchedPipeline:
         np.testing.assert_array_equal(lean[0].binary_mask,
                                       ref0[0].binary_mask)
 
+    def test_multi_scale_inference(self, circle_image):
+        """ms_scales averages per-scale pixel class planes; output shapes
+        match the full resolution and degenerate scales still produce a
+        valid trimap/mask."""
+        import jax
+        img, gt = circle_image
+        model = build_model("resgcn", hidden_channels=24, n_layers=2)
+        g = build_graph(img, SuperpixelGraphConfig(n_segments=60)).graph
+        vs = init_model(model, jax.random.PRNGKey(0), g)
+        pipe = GCNGrabCutPipeline(model, vs,
+                                  SuperpixelGraphConfig(n_segments=60),
+                                  GrabCutConfig(n_iter=1))
+        res = pipe.segment_batch([img], ms_scales=(1.0, 0.75))[0]
+        assert res.binary_mask.shape == img.shape[:2]
+        assert set(np.unique(res.trimap)) <= {0, 1, 2, 3}
+        # An averaged plane of S identical scales must equal single-scale:
+        same = pipe.segment_batch([img], ms_scales=(1.0, 1.0))[0]
+        base = pipe.segment_batch([img])[0]
+        np.testing.assert_array_equal(same.binary_mask, base.binary_mask)
+        with pytest.raises(AssertionError):
+            pipe.segment_batch([img], ms_scales=(0.75, 1.0))
+
     def test_hard_synthetic_generator(self):
         from gcn_grabcut_tpu.data.dataset import make_hard_synthetic_dataset
         s = make_hard_synthetic_dataset(n=4, size=96, seed=0)

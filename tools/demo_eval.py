@@ -117,6 +117,8 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.65)
     ap.add_argument("--filter-radius", type=int, default=4)
     ap.add_argument("--max-size", type=int, default=512)
+    ap.add_argument("--ms-scales", type=str, default=None,
+                    help="comma-separated inference scales (first 1.0)")
     ap.add_argument("--keep-largest", action="store_true",
                     help="keep only the largest component (the reference "
                          "documents ~+0.015 IoU on single-object scenes, "
@@ -132,6 +134,8 @@ def main():
     from gcn_grabcut_tpu import (GCNGrabCutPipeline, SuperpixelGraphConfig,
                                  load_model_from_checkpoint)
 
+    ms_scales = (tuple(float(s) for s in args.ms_scales.split(","))
+                 if args.ms_scales else None)
     pairs = collect_images(args.video)
     print(f"recovered {len(pairs)} (input, reference-mask) pairs")
 
@@ -156,7 +160,8 @@ def main():
         res = pipe.segment(rgb, threshold_fg=args.threshold,
                            threshold_bg=args.threshold,
                            filter_radius=args.filter_radius,
-                           keep_largest=args.keep_largest)
+                           keep_largest=args.keep_largest,
+                           ms_scales=ms_scales)
         v = iou(res.binary_mask > 0, ref_r > 0)
         ious.append(v)
         print(f"image {i}: IoU vs reference output = {v:.3f} "
