@@ -28,8 +28,14 @@ class GATTrimapNet(nn.Module):
     dropout: float = 0.2
     dtype: Optional[jnp.dtype] = None
 
+    # 10k+-node path: models/large.py builds an ops.sddmm.GatPlan and passes
+    # it as `gat_plan`; attention then runs banded (scores dense over the
+    # window, softmax over band slots) instead of over the edge list.
+    supports_banded_attention = True
+
     @nn.compact
-    def __call__(self, g: GraphBatch, train: bool = False) -> jnp.ndarray:
+    def __call__(self, g: GraphBatch, train: bool = False,
+                 gat_plan=None) -> jnp.ndarray:
         D = self.hidden_channels
         head_dim = D // self.n_heads
         dense = lambda feats, name, bias=True: nn.Dense(
@@ -59,7 +65,7 @@ class GATTrimapNet(nn.Module):
             u = GATv2Conv(head_dim, heads=self.n_heads, dtype=self.dtype,
                           name=f"gat_{i}")(
                 h, e_src, e_dst, e_attr, e_mask, g.node_mask,
-                pre_sorted=True)
+                pre_sorted=True, plan=gat_plan)
             u = nn.LayerNorm(dtype=self.dtype, name=f"ln_{i}")(u)
             u = nn.gelu(u)
             u = drop(u)

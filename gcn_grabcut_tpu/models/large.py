@@ -24,7 +24,22 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.graph import GraphBatch
+from ..ops.sddmm import GatPlan, gat_plan_device
 from ..ops.spmm import SpmmPlan, spmm_plan, spmm_plan_device, banded_spmm
+
+
+def build_gat_plan_device(edge_src, edge_dst, edge_attr, edge_mask,
+                          n_nodes: int, window: int = 512) -> GatPlan:
+    """GatPlan for one graph's directed edge list (ops/sddmm.py), built on
+    device.  Fallback capacity: with the default edge budget
+    2·(adjacency + K·n_nonlocal) (graph_build.edge_budget_for) the
+    out-of-window population is at most the non-local half plus a handful
+    of boundary-irregular adjacency edges — E//2 + 4096 covers it (the
+    plan's fb_overflow records any excess; tests assert it stays 0)."""
+    e_budget = int(edge_src.shape[-1])
+    return gat_plan_device(edge_src, edge_dst, edge_attr, edge_mask,
+                           n_nodes, window=window,
+                           fb_capacity=min(e_budget, e_budget // 2 + 4096))
 
 
 def build_gcn_plans(edge_src: np.ndarray, edge_dst: np.ndarray,
@@ -108,6 +123,12 @@ def spmm_aggregators(gcn_plan: SpmmPlan, mean_plan: SpmmPlan,
     return wrap(gcn_plan), wrap(mean_plan)
 
 
+@functools.partial(jax.jit, static_argnames=("model",))
+def _apply_large_gat_jit(model, variables, g, gat_plan):
+    """One cached jit for the banded-attention GAT forward (ops/sddmm.py)."""
+    return model.apply(variables, g, train=False, gat_plan=gat_plan)
+
+
 @functools.partial(jax.jit, static_argnames=("model", "interpret"))
 def _apply_large_jit(model, variables, g, gcn_plan, mean_plan,
                      interpret: bool):
@@ -130,14 +151,21 @@ def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
     `build_gcn_plans_device`) to amortise plan construction across repeated
     forwards on the same graph."""
     assert g.n_graphs == 1, "large-graph path operates on one graph"
+    n = g.max_nodes
+    if getattr(model, "supports_banded_attention", False):
+        # GATv2: attention weights are data-dependent, so the plan holds the
+        # graph STRUCTURE (edge attrs in band slots, ops/sddmm.py); scores
+        # and softmax are computed per forward, banded.
+        if plans is None:
+            plans = build_gat_plan_device(
+                g.edge_src[0], g.edge_dst[0], g.edge_attr[0],
+                g.edge_mask[0], n, window=window)
+        return _apply_large_gat_jit(model, variables, g, plans)
     if not getattr(model, "supports_spmm_aggregators", False):
         raise ValueError(
-            f"{type(model).__name__} has no SpMM-aggregator forward; the "
-            "banded large-graph path supports ResGCNNet and GCNTrimapNet. "
-            "GATv2's data-dependent attention weights need per-forward "
-            "SDDMM plans — run it on the dense path (<=2048 nodes) or "
-            "lower SuperpixelGraphConfig.n_segments.")
-    n = g.max_nodes
+            f"{type(model).__name__} has no large-graph forward; the "
+            "banded paths cover ResGCNNet, GCNTrimapNet (SpMM aggregators) "
+            "and GATTrimapNet (banded SDDMM attention).")
     if plans is None:
         plans = build_gcn_plans_device(
             g.edge_src[0], g.edge_dst[0], g.edge_mask[0], n, window=window)

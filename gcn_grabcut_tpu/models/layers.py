@@ -129,6 +129,12 @@ class GATv2Conv(nn.Module):
     destination (callers that run several attention layers over one graph —
     GATTrimapNet — sort once per forward instead of once per layer); the
     per-node outputs are edge-order independent either way.
+
+    `plan=` (an ``ops.sddmm.GatPlan``, G == 1 only) switches to the banded
+    SDDMM formulation: scores dense over the band window, softmax over band
+    slots, aggregation as batched MXU matmuls — same math, no per-edge
+    gathers/scatters for in-window edges (the 10k+-node path).  Parameters
+    are shared between the two formulations, so checkpoints interchange.
     """
     features: int          # per-head output dim
     heads: int = 8
@@ -137,7 +143,7 @@ class GATv2Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, edge_src, edge_dst, edge_attr, edge_mask,
-                 node_mask, pre_sorted: bool = False):
+                 node_mask, pre_sorted: bool = False, plan=None):
         G, N, _ = x.shape
         H, F = self.heads, self.features
 
@@ -146,6 +152,18 @@ class GATv2Conv(nn.Module):
                                       name=name)
         xl = dense("lin_l")(x).reshape(G, N, H, F)
         xr = dense("lin_r")(x).reshape(G, N, H, F)
+
+        if plan is not None:
+            from ..ops.sddmm import banded_gat_attention
+            assert G == 1, "banded attention operates on one graph"
+            lin_edge = nn.Dense(H * F, use_bias=False, kernel_init=KAIMING,
+                                dtype=self.dtype, name="lin_edge")
+            att = self.param("att", KAIMING, (H, F))
+            out = banded_gat_attention(
+                xl[0], xr[0], plan, lin_edge, att, node_mask[0],
+                negative_slope=self.negative_slope)
+            bias = self.param("bias", nn.initializers.zeros, (H * F,))
+            return out.reshape(1, N, H * F) + bias.astype(out.dtype)
         # Mean edge attribute per graph for the self-loop fill.
         em = edge_mask[..., None]
         attr_mean = (jnp.sum(edge_attr * em, axis=1, keepdims=True)

@@ -374,12 +374,12 @@ class GCNGrabCutPipeline:
 
     def predict_probs(self, graph: RegionGraph) -> np.ndarray:
         if (graph.n_nodes > self.LARGE_NODE_THRESHOLD
-                and getattr(self.model, "supports_spmm_aggregators", False)):
+                and (getattr(self.model, "supports_spmm_aggregators", False)
+                     or getattr(self.model, "supports_banded_attention",
+                                False))):
             from .models.large import apply_large
             logits = apply_large(self.model, self.variables, graph.graph)
         else:
-            # Edge-list models (GATv2) are O(E) with no dense adjacency —
-            # their normal forward already scales to 10k+ nodes.
             logits = apply_model(self.model, self.variables, graph.graph,
                                  train=False)
         return np.asarray(
@@ -560,16 +560,15 @@ class GCNGrabCutPipeline:
         timing["graph_build"] = time.perf_counter() - t
 
         t = time.perf_counter()
-        if large and getattr(self.model, "supports_spmm_aggregators", False):
+        if large and (getattr(self.model, "supports_spmm_aggregators", False)
+                      or getattr(self.model, "supports_banded_attention",
+                                 False)):
             from .models.large import apply_large
             logits = jnp.concatenate([
                 apply_large(self.model, self.variables,
                             _slice_graph_batch(batch, b))
                 for b in range(B)], axis=0)
         else:
-            # Dense-adjacency models route through the banded-SpMM path
-            # above; edge-list models (GATv2) are O(E) and run their
-            # normal stacked forward at any K.
             logits = apply_model(self.model, self.variables, batch,
                                  train=False)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -136,9 +136,7 @@ class TestLargeVariants:
         assert probs.shape == (g.n_nodes, 3)
         assert np.isfinite(probs).all()
 
-    def test_gat_variant_raises_clear_error(self):
-        import jax.random as jr
-        from gcn_grabcut_tpu import build_model, init_model
+    def test_unsupported_model_raises_clear_error(self):
         from gcn_grabcut_tpu.models.large import apply_large
         from gcn_grabcut_tpu.core.graph import make_graph_batch
 
@@ -151,10 +149,12 @@ class TestLargeVariants:
             edge_attr=r.rand(1, E, 5).astype(np.float32),
             node_mask=np.ones((1, K), np.float32),
             edge_mask=np.ones((1, E), np.float32))
-        m = build_model("gat", hidden_channels=16, n_layers=2)
-        vs = init_model(m, jr.PRNGKey(0), g)
-        with pytest.raises(ValueError, match="SpMM-aggregator"):
-            apply_large(m, vs, g)
+
+        class NoLargePath:
+            pass
+
+        with pytest.raises(ValueError, match="large-graph forward"):
+            apply_large(NoLargePath(), {}, g)
 
 
 class TestLargePipeline:

@@ -106,6 +106,39 @@ def main():
         print(f"apply_large warm (cached plans): {t:.2f}s  "
               f"({eps:.0f} M edge-msgs/s, sum={s:.1f})")
 
+    # GATv2 at the same scale: banded SDDMM attention (ops/sddmm.py) vs the
+    # O(E) edge-list forward it replaced (round-2 measurement: 0.225 s).
+    from gcn_grabcut_tpu.models.large import build_gat_plan_device
+    gat = build_model("gat", hidden_channels=128, n_layers=5)
+    gvs = init_model(gat, jr.PRNGKey(1), g.graph)
+    t0 = time.perf_counter()
+    gplan = build_gat_plan_device(
+        g.graph.edge_src[0], g.graph.edge_dst[0], g.graph.edge_attr[0],
+        g.graph.edge_mask[0], g.graph.max_nodes)
+    s = float(gplan.mask_band.sum())
+    print(f"gat plan build: {time.perf_counter() - t0:.2f}s "
+          f"(band edges {s:.0f}, fallback {float(gplan.fb_mask.sum()):.0f}, "
+          f"overflow {int(gplan.fb_overflow[0])})")
+    t0 = time.perf_counter()
+    glogits = apply_large(gat, gvs, g.graph, plans=gplan)
+    print(f"gat banded compile+first: {time.perf_counter() - t0:.1f}s")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        glogits = apply_large(gat, gvs, g.graph, plans=gplan)
+        s = float(glogits.sum())
+        print(f"gat banded warm (cached plan): "
+              f"{time.perf_counter() - t0:.3f}s  sum={s:.1f}")
+    from gcn_grabcut_tpu.models.factory import apply_model
+    t0 = time.perf_counter()
+    glogits = apply_model(gat, gvs, g.graph, train=False)
+    print(f"gat edge-list compile+first: {time.perf_counter() - t0:.1f}s")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        glogits = apply_model(gat, gvs, g.graph, train=False)
+        s = float(glogits.sum())
+        print(f"gat edge-list warm: {time.perf_counter() - t0:.3f}s  "
+              f"sum={s:.1f}")
+
     pipe = GCNGrabCutPipeline(model, vs, sp_config=cfg)
     t0 = time.perf_counter()
     res = pipe.segment(imgs[0])
