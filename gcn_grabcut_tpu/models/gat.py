@@ -35,7 +35,8 @@ class GATTrimapNet(nn.Module):
 
     @nn.compact
     def __call__(self, g: GraphBatch, train: bool = False,
-                 gat_plan=None) -> jnp.ndarray:
+                 gat_plan=None,
+                 gat_precision: str = "default") -> jnp.ndarray:
         D = self.hidden_channels
         head_dim = D // self.n_heads
         dense = lambda feats, name, bias=True: nn.Dense(
@@ -65,7 +66,8 @@ class GATTrimapNet(nn.Module):
             u = GATv2Conv(head_dim, heads=self.n_heads, dtype=self.dtype,
                           name=f"gat_{i}")(
                 h, e_src, e_dst, e_attr, e_mask, g.node_mask,
-                pre_sorted=True, plan=gat_plan)
+                pre_sorted=True, plan=gat_plan,
+                plan_precision=gat_precision)
             u = nn.LayerNorm(dtype=self.dtype, name=f"ln_{i}")(u)
             u = nn.gelu(u)
             u = drop(u)

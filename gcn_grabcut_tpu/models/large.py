@@ -123,10 +123,11 @@ def spmm_aggregators(gcn_plan: SpmmPlan, mean_plan: SpmmPlan,
     return wrap(gcn_plan), wrap(mean_plan)
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _apply_large_gat_jit(model, variables, g, gat_plan):
+@functools.partial(jax.jit, static_argnames=("model", "precision"))
+def _apply_large_gat_jit(model, variables, g, gat_plan, precision):
     """One cached jit for the banded-attention GAT forward (ops/sddmm.py)."""
-    return model.apply(variables, g, train=False, gat_plan=gat_plan)
+    return model.apply(variables, g, train=False, gat_plan=gat_plan,
+                       gat_precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "interpret"))
@@ -160,7 +161,9 @@ def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
             plans = build_gat_plan_device(
                 g.edge_src[0], g.edge_dst[0], g.edge_attr[0],
                 g.edge_mask[0], n, window=window)
-        return _apply_large_gat_jit(model, variables, g, plans)
+        return _apply_large_gat_jit(
+            model, variables, g, plans,
+            "highest" if interpret else "default")
     if not getattr(model, "supports_spmm_aggregators", False):
         raise ValueError(
             f"{type(model).__name__} has no large-graph forward; the "

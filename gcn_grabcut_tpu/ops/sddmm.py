@@ -175,7 +175,8 @@ def _shifted_views_flat(x: jnp.ndarray, R: int, K: int) -> jnp.ndarray:
 def banded_gat_attention(xl: jnp.ndarray, xr: jnp.ndarray, plan: GatPlan,
                          project_edge, att: jnp.ndarray,
                          node_mask: jnp.ndarray,
-                         negative_slope: float = 0.2) -> jnp.ndarray:
+                         negative_slope: float = 0.2,
+                         precision: str = "default") -> jnp.ndarray:
     """GATv2 attention aggregation over a banded plan.
 
     out[i] = Σ_{j∈N(i)} α_ij (W_l x)_j  +  α_ii (W_l x)_i, where the α are
@@ -188,6 +189,11 @@ def banded_gat_attention(xl: jnp.ndarray, xr: jnp.ndarray, plan: GatPlan,
                   lin_edge module, shared with the edge-list path)
     att        : (H, F) attention vector
     node_mask  : (N,) 1.0 for real nodes
+    precision  : "default" computes the dense window scores and messages
+                 in bf16 (the z block tensor is the bandwidth cost of this
+                 op; softmax statistics stay fp32) — same convention as
+                 ops/spmm.py.  "highest" keeps everything fp32 (the exact
+                 oracle mode the equality tests use).
     """
     N, H, F = xl.shape
     R, K, Np = plan.block_rows, plan.k_blocks, plan.n_nodes
@@ -198,6 +204,9 @@ def banded_gat_attention(xl: jnp.ndarray, xr: jnp.ndarray, plan: GatPlan,
         xr = jnp.pad(xr, pad)
         node_mask = jnp.pad(node_mask, ((0, Np - N),))
 
+    cdt = jnp.float32 if precision == "highest" else jnp.bfloat16
+    out_dtype = xl.dtype
+    xl, xr = xl.astype(cdt), xr.astype(cdt)
     xl_flat = xl.reshape(Np, H * F)
     att32 = att.astype(jnp.float32)
     xs = _shifted_views_flat(xl_flat, R, K)          # (K, nb, R, HF)
@@ -206,12 +215,14 @@ def banded_gat_attention(xl: jnp.ndarray, xr: jnp.ndarray, plan: GatPlan,
     # --- band scores: dense over the window, no gathers ------------------
     scores = []
     for k in range(K):
-        ea_k = project_edge(plan.attr_band[k]).reshape(nb, R, R, H, F)
+        ea_k = project_edge(plan.attr_band[k]).astype(cdt).reshape(
+            nb, R, R, H, F)
         z = (ea_k
              + xs[k].reshape(nb, 1, R, H, F)         # source term, per slot
              + xr_b)                                 # destination term
         z = jax.nn.leaky_relu(z, negative_slope)
-        s_k = jnp.einsum("bdshf,hf->bdsh", z.astype(jnp.float32), att32)
+        s_k = jnp.einsum("bdshf,hf->bdsh", z, att32.astype(cdt),
+                         preferred_element_type=jnp.float32)
         s_k = jnp.where(plan.mask_band[k].reshape(nb, R, R, 1) > 0,
                         s_k, -1e30)
         scores.append(s_k)
@@ -220,19 +231,21 @@ def banded_gat_attention(xl: jnp.ndarray, xr: jnp.ndarray, plan: GatPlan,
     band_peak = band_peak.reshape(Np, H)
 
     # --- fallback scores (compacted out-of-window edge list) -------------
-    ea_fb = project_edge(plan.fb_attr).reshape(-1, H, F)
+    ea_fb = project_edge(plan.fb_attr).astype(cdt).reshape(-1, H, F)
     z_fb = jax.nn.leaky_relu(xl[plan.fb_src] + xr[plan.fb_dst] + ea_fb,
                              negative_slope)
-    s_fb = jnp.einsum("ehf,hf->eh", z_fb.astype(jnp.float32), att32)
+    s_fb = jnp.einsum("ehf,hf->eh", z_fb, att32.astype(cdt),
+                      preferred_element_type=jnp.float32)
     s_fb = jnp.where(plan.fb_mask[:, None] > 0, s_fb, -1e30)
     fb_peak = jax.ops.segment_max(s_fb, plan.fb_dst, num_segments=Np,
                                   indices_are_sorted=True)
     fb_peak = jnp.where(jnp.isfinite(fb_peak), fb_peak, -1e30)
 
     # --- self loop (dense, PyG fill_value="mean") -------------------------
-    ea_loop = project_edge(plan.attr_mean).reshape(1, H, F)
+    ea_loop = project_edge(plan.attr_mean).astype(cdt).reshape(1, H, F)
     z_l = jax.nn.leaky_relu(xl + xr + ea_loop, negative_slope)
-    sl = jnp.einsum("nhf,hf->nh", z_l.astype(jnp.float32), att32)
+    sl = jnp.einsum("nhf,hf->nh", z_l, att32.astype(cdt),
+                    preferred_element_type=jnp.float32)
     sl = jnp.where(node_mask[:, None] > 0, sl, -1e30)
 
     # --- shared peak, exact log-sum-exp merge -----------------------------
@@ -244,23 +257,28 @@ def banded_gat_attention(xl: jnp.ndarray, xr: jnp.ndarray, plan: GatPlan,
     for k in range(K):
         esc = jnp.exp(scores[k] - peak_b) \
             * plan.mask_band[k].reshape(nb, R, R, 1)            # (nb,Rd,Rs,H)
-        band_sum = band_sum + esc.sum(axis=2)
+        band_sum = band_sum + esc.sum(axis=2)     # fp32 softmax denominator
         band_msg = band_msg + jnp.einsum(
-            "bdsh,bshf->bdhf", esc,
-            xs[k].reshape(nb, R, H, F).astype(jnp.float32))
+            "bdsh,bshf->bdhf", esc.astype(cdt),
+            xs[k].reshape(nb, R, H, F),
+            preferred_element_type=jnp.float32)
     band_sum = band_sum.reshape(Np, H)
     band_msg = band_msg.reshape(Np, H, F)
 
     exf = jnp.exp(s_fb - peak[plan.fb_dst]) * plan.fb_mask[:, None]
     fb_sum = jax.ops.segment_sum(exf, plan.fb_dst, num_segments=Np,
                                  indices_are_sorted=True)
+    # Flat (FB, H·F) messages: the 3-D (FB, H, F) segment_sum lowers ~6x
+    # slower on this backend than the identical reduction with the head
+    # axis folded into the minor dim (measured 5.8 -> 0.9 ms at FB=90k).
     fb_msg = jax.ops.segment_sum(
-        exf[:, :, None] * xl[plan.fb_src].astype(jnp.float32),
+        jnp.repeat(exf.astype(cdt), F, axis=1) * xl_flat[plan.fb_src],
         plan.fb_dst, num_segments=Np, indices_are_sorted=True)
+    fb_msg = fb_msg.astype(jnp.float32).reshape(Np, H, F)
 
     exl = jnp.exp(sl - peak) * node_mask[:, None]               # (Np, H)
 
     tot = band_sum + fb_sum + exl
     out = (band_msg + fb_msg + exl[:, :, None] * xl.astype(jnp.float32)) \
         / (tot[:, :, None] + 1e-12)
-    return out[:N].astype(xl.dtype)
+    return out[:N].astype(out_dtype)

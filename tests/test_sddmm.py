@@ -96,11 +96,19 @@ class TestBandedAttentionEquality:
                                window=window)
         assert int(plan.fb_overflow[0]) == 0
         out = m.apply(vs, x, g.edge_src, g.edge_dst, g.edge_attr,
-                      g.edge_mask, g.node_mask, plan=plan)
+                      g.edge_mask, g.node_mask, plan=plan,
+                      plan_precision="highest")
         nm = np.asarray(g.node_mask[0]) > 0
         np.testing.assert_allclose(np.asarray(out)[0][nm],
                                    np.asarray(ref)[0][nm],
                                    rtol=2e-4, atol=2e-5)
+        # default precision: bf16 window compute, fp32 softmax islands —
+        # same result to bf16 tolerance
+        out_bf = m.apply(vs, x, g.edge_src, g.edge_dst, g.edge_attr,
+                         g.edge_mask, g.node_mask, plan=plan)
+        scale = np.abs(np.asarray(ref)[0][nm]).max()
+        assert np.abs(np.asarray(out_bf)[0][nm]
+                      - np.asarray(ref)[0][nm]).max() < 0.05 * scale
 
     def test_full_model_banded_equals_edge_list(self):
         from gcn_grabcut_tpu import build_model, init_model
@@ -116,7 +124,7 @@ class TestBandedAttentionEquality:
             g.edge_src[0], g.edge_dst[0], g.edge_attr[0], g.edge_mask[0],
             g.max_nodes, window=64)
         assert int(plan.fb_overflow[0]) == 0
-        out = apply_large(model, vs, g, plans=plan)
+        out = apply_large(model, vs, g, plans=plan, interpret=True)
         nm = np.asarray(g.node_mask[0]) > 0
         np.testing.assert_allclose(np.asarray(out)[0][nm],
                                    np.asarray(ref)[0][nm],
@@ -131,8 +139,8 @@ class TestBandedAttentionEquality:
         model = build_model("gat", hidden_channels=16, n_layers=2)
         vs = init_model(model, jr.PRNGKey(2), g)
         ref = model.apply(vs, g, train=False)
-        out = apply_large(model, vs, g)
+        out = apply_large(model, vs, g)   # default routing: bf16 windows
         nm = np.asarray(g.node_mask[0]) > 0
-        np.testing.assert_allclose(np.asarray(out)[0][nm],
-                                   np.asarray(ref)[0][nm],
-                                   rtol=2e-4, atol=2e-4)
+        scale = np.abs(np.asarray(ref)[0][nm]).max()
+        assert np.abs(np.asarray(out)[0][nm]
+                      - np.asarray(ref)[0][nm]).max() < 0.05 * scale
