@@ -30,6 +30,7 @@ Conventions (shared with the reference):
 
 from __future__ import annotations
 
+import enum
 from typing import Optional
 
 import jax
@@ -51,6 +52,15 @@ TRIMAP_BG = 0       # cv2.GC_BGD
 TRIMAP_FG = 1       # cv2.GC_FGD
 TRIMAP_PROB_BG = 2  # cv2.GC_PR_BGD
 TRIMAP_PROB_FG = 3  # cv2.GC_PR_FGD
+
+
+class Label(enum.IntEnum):
+    """Pixel label constants, OpenCV GrabCut convention — same names and
+    values as the reference facade (src/gcn_grabcut/grabcut.py:22-27)."""
+    BG_DEFINITE = TRIMAP_BG
+    FG_DEFINITE = TRIMAP_FG
+    BG_PROBABLE = TRIMAP_PROB_BG
+    FG_PROBABLE = TRIMAP_PROB_FG
 
 CLASS_BG = 0
 CLASS_UNK = 1

@@ -246,3 +246,29 @@ def build_graph(image: np.ndarray,
         prior=np.asarray(out["prior"]),
         n_nodes=k,
     )
+
+
+# ---------------------------------------------------------------------------
+# Facade parity with the reference's class-based builder
+# (src/gcn_grabcut/graph_builder.py GraphBuilder / SuperpixelGraph,
+# re-exported at package top level, __init__.py:11-15).  This framework's
+# native surface is the functional `build_graph`; the class form wraps it.
+# ---------------------------------------------------------------------------
+
+SuperpixelGraph = RegionGraph
+
+
+class GraphBuilder:
+    """`GraphBuilder(image, config).build()` → :class:`RegionGraph`.
+
+    `image` is (H, W, 3) uint8 RGB (the reference consumes BGR from cv2;
+    this framework standardises on RGB at the API boundary).
+    """
+
+    def __init__(self, image: np.ndarray,
+                 config: Optional[SuperpixelGraphConfig] = None):
+        self.image = image
+        self.config = config or SuperpixelGraphConfig()
+
+    def build(self) -> RegionGraph:
+        return build_graph(self.image, self.config)

@@ -160,3 +160,58 @@ def make_loss_fn(loss_fn: str = "trimap", gamma: float = 2.0,
             return jnp.sum(ce * node_mask) / jnp.maximum(
                 jnp.sum(node_mask), 1.0)
     return f
+
+
+# ---------------------------------------------------------------------------
+# Facade parity: the reference exports its losses as callable objects
+# (src/gcn_grabcut/losses.py FocalLoss / LabelSmoothingCE / TrimapLoss,
+# re-exported at package top level, __init__.py:31).  These thin classes
+# bind the hyper-parameters at construction and call the functional forms.
+# ---------------------------------------------------------------------------
+
+class FocalLoss:
+    """Callable wrapper over :func:`focal_loss` (reference losses.py:12-29)."""
+
+    def __init__(self, gamma: float = 2.0, weight=None):
+        self.gamma = gamma
+        self.weight = None if weight is None else jnp.asarray(
+            weight, jnp.float32)
+
+    def __call__(self, logits, labels, node_mask):
+        return focal_loss(logits, labels, node_mask, gamma=self.gamma,
+                          weight=self.weight)
+
+
+class LabelSmoothingCE:
+    """Callable wrapper over :func:`label_smoothing_ce`
+    (reference losses.py:32-54)."""
+
+    def __init__(self, smoothing: float = 0.1, weight=None):
+        self.smoothing = smoothing
+        self.weight = None if weight is None else jnp.asarray(
+            weight, jnp.float32)
+
+    def __call__(self, logits, labels, node_mask):
+        return label_smoothing_ce(logits, labels, node_mask,
+                                  smoothing=self.smoothing,
+                                  weight=self.weight)
+
+
+class TrimapLoss:
+    """Callable wrapper over :func:`trimap_loss` (reference losses.py:57-150)."""
+
+    def __init__(self, gamma: float = 2.0, dice_weight: float = 0.5,
+                 weight=None, area_weighted: bool = True):
+        self.gamma = gamma
+        self.dice_weight = dice_weight
+        self.area_weighted = area_weighted
+        self.weight = None if weight is None else jnp.asarray(
+            weight, jnp.float32)
+
+    def __call__(self, logits, labels, node_mask, area=None, fg_ratio=None,
+                 graph_weight=None):
+        return trimap_loss(logits, labels, node_mask, area=area,
+                           fg_ratio=fg_ratio, gamma=self.gamma,
+                           weight=self.weight, dice_weight=self.dice_weight,
+                           area_weighted=self.area_weighted,
+                           graph_weight=graph_weight)

@@ -196,3 +196,8 @@ def _report_cv2(results: list, save_path: str | Path) -> None:
     w = min(r.shape[1] for r in rows)
     grid = np.concatenate([r[:, :w] for r in rows], axis=0)
     cv2.imwrite(str(save_path), cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
+
+
+# Facade parity: the reference names this plot `plot_superpixel_graph`
+# (src/gcn_grabcut/visualise.py:189-255, exported at package top level).
+plot_superpixel_graph = plot_graph_overlay
