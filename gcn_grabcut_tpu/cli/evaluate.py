@@ -32,10 +32,12 @@ def parse_args(argv=None):
     p.add_argument("--threshold", type=float, default=0.65)
     p.add_argument("--filter-radius", type=int, default=4)
     p.add_argument("--keep-largest", action="store_true")
-    p.add_argument("--ms-scales", type=str, default=None,
+    p.add_argument("--ms-scales", type=str, default="1.0,0.75",
                    help="comma-separated inference scales, first must be "
-                        "1.0 (e.g. '1.0,0.75'): per-scale class planes are "
-                        "averaged before thresholding)")
+                        "1.0: per-scale class planes are averaged before "
+                        "thresholding.  Default 1.0,0.75 — the measured "
+                        "best configuration on real photos (PERF.md); "
+                        "'none' disables multi-scale")
     p.add_argument("--batch", type=int, default=0,
                    help="segment in batches of this size (same-size images)")
     p.add_argument("--ablation", action="store_true",
@@ -67,7 +69,8 @@ def main(argv=None):
     sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
     pipe = GCNGrabCutPipeline(model, variables, sp_cfg)
     ms_scales = (tuple(float(s) for s in args.ms_scales.split(","))
-                 if args.ms_scales else None)
+                 if args.ms_scales and args.ms_scales.lower() != "none"
+                 else None)
 
     if args.hard_synthetic:
         samples = make_hard_synthetic_dataset(

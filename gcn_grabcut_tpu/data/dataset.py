@@ -405,62 +405,96 @@ def load_image_mask_dataset(images_dir, masks_dir, max_size: int = 512,
 # Synthetic dataset (the CI fixture — reference dataset.py:667-749)
 # -----------------------------------------------------------------------
 
+# Distribution constants — a REFERENCE PARITY FIXTURE (the reference CI
+# generator, dataset.py:667-749, draws from exactly these ranges): the same
+# shape family, background/foreground palettes, geometry fractions and
+# noise amplitude keep smoke-training runs and parity tests statistically
+# comparable between the two frameworks.  The generator below shares only
+# these constants with the reference; its structure (two-phase sampled
+# paint-op lists) is this codebase's own.
+_SYNTH_SHAPES = ("circle", "rect", "ellipse", "ring", "Lshape")
+_SYNTH_BG = (20, 100)       # background / hole palette, per channel
+_SYNTH_FG = (120, 240)      # object palette, per channel
+_SYNTH_NOISE = 30           # uniform +/- pixel noise
+
+
+def _sample_shape_ops(shape: str, rng: np.random.RandomState, size: int):
+    """Sample one object's geometry as an ordered list of paint ops.
+
+    Each op is ``(primitive, geometry, palette, label)``; ``label=0`` ops
+    carve background-coloured holes (the ring interior, the L hollow) out
+    of a previously painted ``label=1`` body.  Geometry fractions follow
+    the parity fixture above.
+    """
+    cx = rng.randint(size // 4, 3 * size // 4)
+    cy = rng.randint(size // 4, 3 * size // 4)
+
+    def box(w, h):
+        return (max(0, cx - w // 2), max(0, cy - h // 2),
+                min(size - 1, cx + w // 2), min(size - 1, cy + h // 2))
+
+    if shape == "circle":
+        return [("circle", ((cx, cy), rng.randint(size // 8, size // 3)),
+                 _SYNTH_FG, 1)]
+    if shape == "rect":
+        g = box(rng.randint(size // 6, size // 3),
+                rng.randint(size // 6, size // 3))
+        return [("rect", g, _SYNTH_FG, 1)]
+    if shape == "ellipse":
+        axes = (rng.randint(size // 8, size // 3),
+                rng.randint(size // 12, size // 4))
+        return [("ellipse", ((cx, cy), axes, rng.randint(0, 180)),
+                 _SYNTH_FG, 1)]
+    if shape == "ring":
+        r_out = rng.randint(size // 5, size // 3)
+        r_in = max(r_out - rng.randint(size // 15, size // 8), 1)
+        return [("circle", ((cx, cy), r_out), _SYNTH_FG, 1),
+                ("circle", ((cx, cy), r_in), _SYNTH_BG, 0)]
+    # L-shape: solid box with a hollow offset by the arm thickness.
+    x1, y1, x2, y2 = box(rng.randint(size // 6, size // 3),
+                         rng.randint(size // 6, size // 3))
+    t = max(size // 10, 5)
+    return [("rect", (x1, y1, x2, y2), _SYNTH_FG, 1),
+            ("rect", (x1 + t, y1 + t, x2 - t, y2 - t), _SYNTH_BG, 0)]
+
+
+def _paint_ops(img: np.ndarray, mask: np.ndarray, ops,
+               rng: np.random.RandomState) -> None:
+    """Apply paint ops to the image (random colour from the op's palette)
+    and the mask (the op's label) in order."""
+    for prim, geom, palette, label in ops:
+        colour = [int(c) for c in rng.randint(*palette, 3)]
+        if prim == "circle":
+            centre, r = geom
+            cv2.circle(img, centre, r, colour, -1)
+            cv2.circle(mask, centre, r, int(label), -1)
+        elif prim == "rect":
+            x1, y1, x2, y2 = geom
+            cv2.rectangle(img, (x1, y1), (x2, y2), colour, -1)
+            cv2.rectangle(mask, (x1, y1), (x2, y2), int(label), -1)
+        else:  # ellipse
+            centre, axes, angle = geom
+            cv2.ellipse(img, centre, axes, angle, 0, 360, colour, -1)
+            cv2.ellipse(mask, centre, axes, angle, 0, 360, int(label), -1)
+
+
 def make_synthetic_dataset(n: int = 200, size: int = 128, seed: int = 42
                            ) -> list[dict]:
-    """Seeded geometric shapes (circle/rect/ellipse/ring/L) + noise.
-
-    The shape set, size ranges and noise magnitudes intentionally match the
-    reference CI fixture's distribution (dataset.py:667-749) so parity
-    tests and smoke-training runs see statistically comparable data."""
+    """Seeded geometric shapes (circle/rect/ellipse/ring/L) + noise — the
+    CI fixture.  Distribution matches the reference generator's (see the
+    parity-fixture constants above); degenerate all-FG/all-BG draws are
+    skipped, like the reference's."""
     rng = np.random.RandomState(seed)
     samples = []
     for i in range(n):
-        img = rng.randint(20, 100, (size, size, 3), dtype=np.uint8)
+        img = rng.randint(*_SYNTH_BG, (size, size, 3), dtype=np.uint8)
         mask = np.zeros((size, size), np.uint8)
-        shape = rng.choice(["circle", "rect", "ellipse", "ring", "Lshape"])
-        cx = rng.randint(size // 4, 3 * size // 4)
-        cy = rng.randint(size // 4, 3 * size // 4)
-        color = [int(c) for c in rng.randint(120, 240, 3)]
+        shape = rng.choice(_SYNTH_SHAPES)
+        _paint_ops(img, mask, _sample_shape_ops(shape, rng, size), rng)
 
-        if shape == "circle":
-            r = rng.randint(size // 8, size // 3)
-            cv2.circle(img, (cx, cy), r, color, -1)
-            cv2.circle(mask, (cx, cy), r, 1, -1)
-        elif shape == "rect":
-            w = rng.randint(size // 6, size // 3)
-            h = rng.randint(size // 6, size // 3)
-            x1, y1 = max(0, cx - w // 2), max(0, cy - h // 2)
-            x2, y2 = min(size - 1, cx + w // 2), min(size - 1, cy + h // 2)
-            cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
-            cv2.rectangle(mask, (x1, y1), (x2, y2), 1, -1)
-        elif shape == "ellipse":
-            a = rng.randint(size // 8, size // 3)
-            b = rng.randint(size // 12, size // 4)
-            ang = rng.randint(0, 180)
-            cv2.ellipse(img, (cx, cy), (a, b), ang, 0, 360, color, -1)
-            cv2.ellipse(mask, (cx, cy), (a, b), ang, 0, 360, 1, -1)
-        elif shape == "ring":
-            r_out = rng.randint(size // 5, size // 3)
-            r_in = r_out - rng.randint(size // 15, size // 8)
-            cv2.circle(img, (cx, cy), r_out, color, -1)
-            cv2.circle(mask, (cx, cy), r_out, 1, -1)
-            bg = [int(c) for c in rng.randint(20, 100, 3)]
-            cv2.circle(img, (cx, cy), max(r_in, 1), bg, -1)
-            cv2.circle(mask, (cx, cy), max(r_in, 1), 0, -1)
-        else:  # L-shape
-            w = rng.randint(size // 6, size // 3)
-            h = rng.randint(size // 6, size // 3)
-            t = max(size // 10, 5)
-            x1, y1 = max(0, cx - w // 2), max(0, cy - h // 2)
-            x2, y2 = min(size - 1, cx + w // 2), min(size - 1, cy + h // 2)
-            cv2.rectangle(img, (x1, y1), (x2, y2), color, -1)
-            cv2.rectangle(mask, (x1, y1), (x2, y2), 1, -1)
-            inner = [int(c) for c in rng.randint(20, 100, 3)]
-            cv2.rectangle(img, (x1 + t, y1 + t), (x2 - t, y2 - t), inner, -1)
-            cv2.rectangle(mask, (x1 + t, y1 + t), (x2 - t, y2 - t), 0, -1)
-
-        noise = rng.randint(-30, 30, img.shape).astype(np.int16)
-        img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        noise = rng.randint(-_SYNTH_NOISE, _SYNTH_NOISE, img.shape)
+        img = np.clip(img.astype(np.int16) + noise.astype(np.int16),
+                      0, 255).astype(np.uint8)
         if mask.sum() == 0 or (1 - mask).sum() == 0:
             continue
         samples.append({"image": img, "gt_mask": mask,
@@ -861,16 +895,16 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
 
 def split_dataset(samples: list, val_ratio: float = 0.15,
                   test_ratio: float = 0.05, seed: int = 42):
-    """Shuffled train/val/test split (reference dataset.py:752-769)."""
-    rng = np.random.RandomState(seed)
-    data = list(samples)
-    rng.shuffle(data)
-    n = len(data)
-    n_test = max(1, int(n * test_ratio))
-    n_val = max(1, int(n * val_ratio))
-    test = data[:n_test]
-    val = data[n_test:n_test + n_val]
-    train = data[n_test + n_val:]
+    """Seeded shuffled train/val/test split — same contract as the
+    reference (dataset.py:752-769): test and val each get at least one
+    sample (``max(1, ratio·n)``), train takes the remainder.
+    """
+    order = np.random.RandomState(seed).permutation(len(samples))
+    cuts = np.cumsum([max(1, int(len(samples) * r))
+                      for r in (test_ratio, val_ratio)])
+    parts = [[samples[i] for i in idx]
+             for idx in np.split(order, cuts)]
+    test, val, train = parts[0], parts[1], parts[2]
     print(f"[Dataset] Split → train:{len(train)} val:{len(val)} "
           f"test:{len(test)}")
     return train, val, test

@@ -29,17 +29,40 @@ from ..ops.spmm import SpmmPlan, spmm_plan, spmm_plan_device, banded_spmm
 
 
 def build_gat_plan_device(edge_src, edge_dst, edge_attr, edge_mask,
-                          n_nodes: int, window: int = 512) -> GatPlan:
+                          n_nodes: int, window: int = 512,
+                          check_overflow: bool = True) -> GatPlan:
     """GatPlan for one graph's directed edge list (ops/sddmm.py), built on
     device.  Fallback capacity: with the default edge budget
     2·(adjacency + K·n_nonlocal) (graph_build.edge_budget_for) the
     out-of-window population is at most the non-local half plus a handful
-    of boundary-irregular adjacency edges — E//2 + 4096 covers it (the
-    plan's fb_overflow records any excess; tests assert it stays 0)."""
+    of boundary-irregular adjacency edges — E//2 + 4096 covers it.
+
+    That sizing is an ASSUMPTION about the graph (SLIC scan-order labels,
+    default non-local budget); a user-built graph can violate it, and edges
+    past the capacity are dropped from the attention softmax — silently
+    wrong logits.  So by default the plan's ``fb_overflow`` counter is
+    checked here, once per plan build (a single ~30 ms scalar pull over the
+    tunnel, amortised across every forward that reuses the plan), and an
+    overflowing plan is rebuilt at exact capacity ``fb_capacity=E`` with a
+    warning — matching the reference's guard-loudly culture on degenerate
+    inputs (/root/reference/src/gcn_grabcut/grabcut.py:127-140).
+    ``check_overflow=False`` skips the pull for callers that assert the
+    structure themselves (tests read the counter directly)."""
     e_budget = int(edge_src.shape[-1])
-    return gat_plan_device(edge_src, edge_dst, edge_attr, edge_mask,
+    plan = gat_plan_device(edge_src, edge_dst, edge_attr, edge_mask,
                            n_nodes, window=window,
                            fb_capacity=min(e_budget, e_budget // 2 + 4096))
+    if check_overflow and int(plan.fb_overflow[0]) > 0:
+        import warnings
+        warnings.warn(
+            f"banded-GAT plan dropped {int(plan.fb_overflow[0])} "
+            "out-of-window edges at the default fallback capacity "
+            "(non-SLIC-banded graph structure?); rebuilding with exact "
+            "capacity — pass a larger `window` to keep the fallback "
+            "phase small.", RuntimeWarning, stacklevel=2)
+        plan = gat_plan_device(edge_src, edge_dst, edge_attr, edge_mask,
+                               n_nodes, window=window, fb_capacity=e_budget)
+    return plan
 
 
 def build_gcn_plans(edge_src: np.ndarray, edge_dst: np.ndarray,
@@ -142,7 +165,7 @@ def _apply_large_jit(model, variables, g, gcn_plan, mean_plan,
 
 
 def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
-                window: int = 512, plans=None):
+                window: int = 512, plans=None, precision: str = "default"):
     """Forward a single large graph (G=1) through `model` with SpMM
     aggregation.  Plans default to the on-device builder (the graph's edge
     arrays are already device-resident in the pipeline, and the alternative
@@ -150,7 +173,12 @@ def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
     costs more over the tunnel than the forward it feeds); pass
     `plans=(gcn_plan, mean_plan)` (from `build_gcn_plans` or
     `build_gcn_plans_device`) to amortise plan construction across repeated
-    forwards on the same graph."""
+    forwards on the same graph.
+
+    `interpret` selects the Pallas interpreter on the SpMM branch (a debug
+    mode); `precision` ("default" = bf16 window compute, "highest" = exact
+    fp32) controls the banded-attention numerics on the GAT branch — the
+    two are independent knobs."""
     assert g.n_graphs == 1, "large-graph path operates on one graph"
     n = g.max_nodes
     if getattr(model, "supports_banded_attention", False):
@@ -161,9 +189,7 @@ def apply_large(model, variables, g: GraphBatch, interpret: bool = False,
             plans = build_gat_plan_device(
                 g.edge_src[0], g.edge_dst[0], g.edge_attr[0],
                 g.edge_mask[0], n, window=window)
-        return _apply_large_gat_jit(
-            model, variables, g, plans,
-            "highest" if interpret else "default")
+        return _apply_large_gat_jit(model, variables, g, plans, precision)
     if not getattr(model, "supports_spmm_aggregators", False):
         raise ValueError(
             f"{type(model).__name__} has no large-graph forward; the "

@@ -87,15 +87,34 @@ def _clean_mask_jit(mask: jnp.ndarray, min_area: jnp.ndarray,
     H, W = mask.shape
     labels = connected_components(mask > 0, connectivity=8)
     flat = labels.reshape(-1)
+    clamped = jnp.minimum(flat, H * W - 1)
     sizes = jax.ops.segment_sum(
-        (flat < H * W).astype(jnp.float32), jnp.minimum(flat, H * W - 1),
-        num_segments=H * W)
-    comp_size = sizes[jnp.minimum(flat, H * W - 1)].reshape(H, W)
+        (flat < H * W).astype(jnp.float32), clamped, num_segments=H * W)
+    comp_size = sizes[clamped].reshape(H, W)
     comp_size = jnp.where(labels < H * W, comp_size, 0.0)
 
     if keep_largest:
-        largest = jnp.max(comp_size)
-        keep = (comp_size >= largest) & (comp_size > 0)
+        # "Largest object", not "largest component": a frame / vignette /
+        # letterbox misclassified as FG forms a component that hugs the
+        # image border, and picking it drops the actual subject (the
+        # reference's +0.015 from keep-largest assumes the subject IS the
+        # largest component, README.md:600-602).  Components occupying a
+        # large fraction of the border perimeter are frame-like — demote
+        # them, unless nothing else exists (a legitimately cropped subject
+        # touches the border only along part of it).
+        on_border = jnp.zeros((H, W), jnp.float32)
+        on_border = on_border.at[0, :].set(1.0).at[-1, :].set(1.0)
+        on_border = on_border.at[:, 0].set(1.0).at[:, -1].set(1.0)
+        border_cnt = jax.ops.segment_sum(
+            (on_border.reshape(-1)) * (flat < H * W).astype(jnp.float32),
+            clamped, num_segments=H * W)
+        perimeter = jnp.float32(2 * (H + W) - 4)
+        frame_like = (border_cnt[clamped].reshape(H, W) / perimeter) > 0.3
+        eff_size = jnp.where(frame_like, 0.0, comp_size)
+        has_non_frame = jnp.any(eff_size > 0)
+        score = jnp.where(has_non_frame, eff_size, comp_size)
+        largest = jnp.max(score)
+        keep = (score >= largest) & (score > 0)
     else:
         keep = comp_size >= min_area
         # If everything was filtered out, fall back to the largest component

@@ -103,7 +103,7 @@ def _gat_plan_arrays(src, dst, attr, mask, n_pad, block_rows, k_blocks,
     # Sorted scatter: unsorted XLA scatter carries pathological compile
     # times on this backend (see ops/spmm.py).
     order = jnp.argsort(idx)
-    idx_s, w_s = idx[order], w_in[order]
+    idx_s = idx[order]
     flat = jnp.zeros((k_blocks * n_pad * block_rows, a_dim + 1), jnp.float32)
     payload = jnp.concatenate([attr * w_in[:, None], w_in[:, None]],
                               axis=-1)[order]

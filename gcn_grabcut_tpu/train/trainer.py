@@ -153,18 +153,29 @@ def make_optimizer(cfg: TrainConfig, params, variant: str, n_layers: int,
     return optax.chain(*chain), schedule_fn
 
 
-def per_class_iou(preds: jnp.ndarray, labels: jnp.ndarray,
-                  mask: jnp.ndarray, n_classes: int = 3) -> jnp.ndarray:
-    """(n_classes,) IoU over valid nodes (reference trainer.py:421-428)."""
-    ious = []
+def per_class_counts(preds: jnp.ndarray, labels: jnp.ndarray,
+                     mask: jnp.ndarray, n_classes: int = 3) -> jnp.ndarray:
+    """(n_classes, 3) [tp, fp, fn] counts over valid nodes.
+
+    Kept as raw counts so the caller can accumulate them ACROSS batches and
+    compute one global per-class IoU, matching the reference's
+    model-selection contract — it concatenates every validation prediction
+    before computing IoU (reference trainer.py:342-345); a mean of
+    per-batch IoUs is biased by batch composition."""
+    counts = []
     for c in range(n_classes):
         p = (preds == c) & (mask > 0)
         g = (labels == c) & (mask > 0)
-        tp = jnp.sum(p & g)
-        fp = jnp.sum(p & ~g)
-        fn = jnp.sum(~p & g)
-        ious.append(tp / (tp + fp + fn + 1e-8))
-    return jnp.stack(ious)
+        counts.append(jnp.stack([jnp.sum(p & g), jnp.sum(p & ~g),
+                                 jnp.sum(~p & g)]))
+    return jnp.stack(counts).astype(jnp.float32)
+
+
+def per_class_iou(preds: jnp.ndarray, labels: jnp.ndarray,
+                  mask: jnp.ndarray, n_classes: int = 3) -> jnp.ndarray:
+    """(n_classes,) IoU over valid nodes (reference trainer.py:421-428)."""
+    c = per_class_counts(preds, labels, mask, n_classes)
+    return c[:, 0] / (c[:, 0] + c[:, 1] + c[:, 2] + 1e-8)
 
 
 class Trainer:
@@ -277,8 +288,10 @@ class Trainer:
             mask = batch.node_mask * graph_weight[:, None]
             correct = jnp.sum((preds == batch.y) * mask)
             total = jnp.maximum(jnp.sum(mask), 1.0)
-            ious = per_class_iou(preds, batch.y, mask)
-            return l, correct / total, ious, jnp.sum(mask)
+            # Raw tp/fp/fn counts: _eval_epoch accumulates them globally
+            # (reference trainer.py:342-345 semantics — NOT per-batch IoUs).
+            counts = per_class_counts(preds, batch.y, mask)
+            return l, correct / total, counts, jnp.sum(mask)
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
@@ -437,16 +450,21 @@ class Trainer:
     def _eval_epoch(self, val_data: GraphBatch) -> dict:
         rng_np = np.random.RandomState(0)
         total_l, total_correct, total_nodes = 0.0, 0.0, 0.0
-        iou_acc = np.zeros(3)
+        count_acc = np.zeros((3, 3))
         nb = 0
         for batch, w in self._batches(val_data, rng_np, shuffle=False):
-            l, acc, ious, nn = self._eval_step(self.state, batch, w)
+            l, acc, counts, nn = self._eval_step(self.state, batch, w)
             total_l += float(l)
             total_correct += float(acc) * float(nn)
             total_nodes += float(nn)
-            iou_acc += np.asarray(ious)
+            count_acc += np.asarray(counts)
             nb += 1
-        ious = iou_acc / max(nb, 1)
+        # One GLOBAL per-class IoU over the whole validation set (tp/fp/fn
+        # accumulated across batches; wrapped partial-batch duplicates carry
+        # zero graph_weight) — the reference concatenates all predictions
+        # first (trainer.py:342-345), so mean-of-batch-IoUs would deviate
+        # from its checkpoint-selection / early-stop contract.
+        ious = count_acc[:, 0] / (count_acc.sum(axis=1) + 1e-8)
         return {
             "loss": total_l / max(nb, 1),
             "acc": total_correct / max(total_nodes, 1),

