@@ -772,31 +772,69 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         sh = cv2.GaussianBlur(sh.astype(np.float32), (0, 0), size / 40)
         img *= (1.0 - 0.4 * np.clip(sh - mask, 0, 1))[..., None]
 
-        # object fill: 1-3 internal colour patches + texture.  A quarter of
-        # objects are near-achromatic (white/black/grey animals are the
-        # common real case the colour-blob fixture misses).
+        # object fill: internal colour patches + texture.  Three colour
+        # families, weighted to what real salient objects (DUTS-style
+        # animal photos) actually look like:
+        #   * piebald (30%): near-white body with dark/brown patches or the
+        #     inverse — the papillon/beagle statistic.  A colour-blob model
+        #     trained without this learns "white = background" and drops
+        #     white fur wholesale (the round-3 demo failure).
+        #   * achromatic (15%): uniformly white/black/grey animals.
+        #   * free colour (55%): random base + contrasting patches.
         obj = np.zeros_like(img)
-        if rng.rand() < 0.25:
+        fill_mode = rng.rand()
+        if fill_mode < 0.30:
+            light = np.clip(rng.uniform(185, 248)
+                            + rng.uniform(-12, 12, 3), 5, 255
+                            ).astype(np.float32)
+            if rng.rand() < 0.5:       # near-black patches (papillon)
+                dark = rng.uniform(8, 55, 3).astype(np.float32)
+            else:                      # brown patches (beagle), RGB order
+                dark = np.array([rng.uniform(70, 140), rng.uniform(35, 90),
+                                 rng.uniform(12, 55)], np.float32)
+            if rng.rand() < 0.65:      # white-dominant body
+                base_col, alt_col = light, dark
+            else:
+                base_col, alt_col = dark, light
+            n_patch, p_lo, p_hi = rng.randint(2, 6), 0.15, 0.8
+            cols = [base_col] + [
+                alt_col if rng.rand() < 0.8 else
+                np.clip(base_col + rng.randint(-60, 60, 3), 5, 250)
+                for _ in range(5)]
+        elif fill_mode < 0.45:
             g_ = float(rng.choice([rng.uniform(10, 60),
                                    rng.uniform(180, 245)]))
             base_col = np.clip(
                 g_ + rng.uniform(-12, 12, 3), 5, 250).astype(np.float32)
+            n_patch, p_lo, p_hi = rng.randint(1, 4), 0.4, 1.2
+            cols = [base_col] + [
+                np.clip(base_col + rng.randint(-120, 120, 3), 10, 245)
+                for _ in range(5)]
         else:
             base_col = rng.randint(25, 230, 3).astype(np.float32)
+            # Saliency statistics: saturated-green objects are rare in real
+            # photos (green usually means vegetation, i.e. background) —
+            # resample greenish bases once with 60% probability so the
+            # colour coverage stays non-zero but the prior shifts.
+            if (base_col[1] > 70 and base_col[1]
+                    > 1.35 * max(base_col[0], base_col[2])
+                    and rng.rand() < 0.6):
+                base_col = rng.randint(25, 230, 3).astype(np.float32)
+            n_patch, p_lo, p_hi = rng.randint(1, 4), 0.4, 1.2
+            cols = [base_col] + [
+                np.clip(base_col + rng.randint(-120, 120, 3), 10, 245)
+                for _ in range(5)]
         patch_lbl = np.zeros((size, size), np.uint8)
-        for q in range(rng.randint(1, 4)):
+        for q in range(n_patch):
             pm = np.zeros((size, size), np.uint8)
-            a = int(scale_o * rng.uniform(0.4, 1.2))
-            b = int(scale_o * rng.uniform(0.3, 1.0))
+            a = int(scale_o * rng.uniform(p_lo, p_hi))
+            b = int(scale_o * rng.uniform(0.75 * p_lo, 0.85 * p_hi))
             dx = int(scale_o * rng.uniform(-0.6, 0.6))
             dy = int(scale_o * rng.uniform(-0.6, 0.6))
             cv2.ellipse(pm, (cx + dx, cy + dy), (max(a, 4), max(b, 4)),
                         rng.randint(0, 180), 0, 360, 1, -1)
-            patch_lbl[pm > 0] = q + 1
-        cols = [base_col] + [
-            np.clip(base_col + rng.randint(-120, 120, 3), 10, 245)
-            for _ in range(3)]
-        for q in range(4):
+            patch_lbl[pm > 0] = 1 + (q % 5)
+        for q in range(6):
             obj[patch_lbl == q] = cols[q]
         obj += rng.randn(size, size, 3) * rng.uniform(3, 14)
         if bank and rng.rand() < 0.5:
@@ -852,6 +890,37 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
                 btex = bcol[None, None] + rng.randn(size, size, 3) \
                     * rng.uniform(8, 26)
                 img = np.where(blob[..., None] > 0, btex, img)
+
+        # vegetation masses: large green leafy-textured blobs anywhere in
+        # the background (not only at the frame edges).  In real-photo
+        # statistics vegetation is (nearly) always background; a model that
+        # has never seen a salient-looking bush picks it over a pale animal
+        # (the round-3 framed-beagle failure: our posterior chose the bush).
+        if bg_kind != "bokeh" and rng.rand() < 0.55:
+            for _ in range(rng.randint(1, 3)):
+                vx, vy = rng.randint(0, size, 2)
+                veg = np.zeros((size, size), np.uint8)
+                r0 = rng.randint(size // 8, size // 3)
+                for _ in range(rng.randint(4, 9)):
+                    dx, dy = rng.randint(-r0, r0, 2)
+                    cv2.circle(veg, (vx + dx, vy + dy),
+                               rng.randint(max(r0 // 3, 3),
+                                           max((2 * r0) // 3, 4)), 1, -1)
+                veg &= (1 - mask)
+                g_ = rng.uniform(70, 165)
+                vcol = np.array([g_ * rng.uniform(0.3, 0.75), g_,
+                                 g_ * rng.uniform(0.2, 0.6)], np.float32)
+                vtex = np.zeros((size, size, 3), np.float32)
+                for scale in (4, 12, 36):
+                    lowres = rng.randn(size // scale + 2,
+                                       size // scale + 2, 3)
+                    vtex += cv2.resize(
+                        lowres, (size, size),
+                        interpolation=cv2.INTER_CUBIC) * rng.uniform(8, 24)
+                shade = rng.uniform(0.55, 1.1)
+                img = np.where(veg[..., None] > 0,
+                               np.clip((vcol[None, None] + vtex) * shade,
+                                       0, 255), img)
 
         # photometrics: gamma + brightness jitter + sensor noise
         g = rng.uniform(0.75, 1.3)

@@ -1,30 +1,33 @@
-"""Stage-swap attribution vs the reference pipeline on its own demo photos.
+"""Stage-swap attribution of the real-photo agreement gap.
 
-The reference demo video (/root/reference/demo.mp4, rendered by
-tools/make_demo.py) shows, for every real photo, all five stage panels of
-the REFERENCE pipeline (make_demo.py:165-215):
+The reference demo video renders, per photo, all five pipeline stages
+(/root/reference/tools/make_demo.py:253-321): (a) the input, (c) the
+pixel-projected GCN foreground posterior as grayscale 255*(1-p_fg),
+(d) the trimap as gray levels {BG_DEF:245, BG_PROB:200, FG_PROB:110,
+FG_DEF:40}, and (e) the final cutout.  Inverting those renderings
+recovers the reference pipeline's *intermediate* outputs, so the
+mean-agreement number (tools/demo_eval.py) can be decomposed per stage:
 
-  (a) input photo                         → the head-to-head input
-  (c) foreground posterior                → gray = 255·(1 − clip(P(FG),0,1))
-      (make_demo.py:176-179: the RAW region posterior projected to pixels,
-      before the guided filter)
-  (d) trimap                              → gray ∈ {245, 200, 110, 40} for
-      {BG_DEF, BG_PROB, FG_PROB, FG_DEF} (make_demo.py:181-186)
-  (e) final mask as a cutout              → recovered by inverting the
-      compositing (tools/demo_eval.py)
+  columns of the swap table, every mask scored as IoU vs the reference's
+  own final mask (e):
 
-Inverting (c), (d), (e) gives the reference's intermediate products, so the
-0.485 end-to-end disagreement (PERF.md) can be DECOMPOSED per stage:
+    ours_full      our trimap  -> our GrabCut   (the product path)
+    ours_cv2       our trimap  -> cv2.grabCut   (their refiner, our trimap)
+    reftri_ours    ref trimap  -> our GrabCut   (our refiner, their trimap)
+    reftri_cv2     ref trimap  -> cv2.grabCut   (recovery sanity: should
+                                                 approximately reproduce (e))
 
-  posterior Δ   our P(FG) map        vs  their P(FG) map        (model stage)
-  trimap Δ      our trimap           vs  their trimap           (+ refine)
-  refine-swap   their trimap → OUR GrabCut+cleanup  vs  their final mask
-                (isolates our refinement: if this is ~1, the whole gap is
-                 upstream of GrabCut)
-  end-to-end    our mask             vs  their mask             (baseline)
+  plus direct stage agreements:
 
-Usage:  python tools/stage_swap.py [--checkpoint …] [--ms-scales 1.0,0.75]
-Writes a per-photo attribution table (markdown) and a qualitative grid.
+    tri_iou        IoU of binarised trimaps (FG = {FG_DEF, FG_PROB})
+    post_iou       IoU of posteriors thresholded at 0.5
+    post_mae       mean |p_fg_ours - p_fg_ref|
+
+If reftri_ours ~= reftri_cv2 the refinement stages are interchangeable and
+the whole gap is upstream (model/trimap); if ours_cv2 >> ours_full the
+GrabCut energy/params diverge.  Usage:
+
+  python tools/stage_swap.py --checkpoint examples/flagship512_resgcn_d128.msgpack
 """
 
 from __future__ import annotations
@@ -34,18 +37,20 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import cv2  # noqa: E402
 import numpy as np  # noqa: E402
 
 from demo_eval import classify_stage, panel, content_box, iou  # noqa: E402
 
-# Stage-(d) gray levels (make_demo.py:181-186) → trimap labels (cv2 space).
-TRI_LEVELS = {245: 0, 200: 2, 110: 3, 40: 1}   # BG, PR_BG, PR_FG, FG
+# Gray rendering levels of make_demo.py:283-288, OpenCV label convention.
+TRI_LEVELS = np.array([245, 200, 110, 40], np.float32)
+TRI_LABELS = np.array([0, 2, 3, 1], np.uint8)  # BG, PR_BG, PR_FG, FG
 
 
-def collect_stage_sets(video: str):
-    """Yield dicts {stage: panel_bgr} with all five stages per photo."""
+def collect_stages(video: str):
+    """Recover (input, p_fg, trimap, mask) for every photo in the video."""
     cap = cv2.VideoCapture(video)
     uniq, prev = [], None
     while True:
@@ -66,42 +71,73 @@ def collect_stage_sets(video: str):
         current[s] = fr
     if current:
         groups.append(current)
-    return [g for g in groups if all(k in g for k in range(5))]
+
+    out = []
+    for g in groups:
+        if any(k not in g for k in (0, 2, 3, 4)):
+            continue
+        a = panel(g[0])
+        y0, y1, x0, x1 = content_box(a)
+        a_c = a[y0:y1, x0:x1]
+        af = a_c.astype(np.float32)
+
+        # (c) posterior: gray = 255 * (1 - clip(p_fg, 0, 1)).
+        post = panel(g[2])[y0:y1, x0:x1]
+        p_fg = 1.0 - cv2.cvtColor(post, cv2.COLOR_BGR2GRAY) / 255.0
+
+        # (d) trimap: nearest of the four rendering levels.
+        tg = cv2.cvtColor(panel(g[3])[y0:y1, x0:x1],
+                          cv2.COLOR_BGR2GRAY).astype(np.float32)
+        nearest = np.abs(tg[..., None] - TRI_LEVELS[None, None]).argmin(-1)
+        trimap = TRI_LABELS[nearest]
+
+        # (e) final mask: invert bg = 0.93*255 + 0.07*input compositing.
+        e_c = panel(g[4])[y0:y1, x0:x1].astype(np.float32)
+        d_bg = np.abs(e_c - (0.93 * 255.0 + 0.07 * af)).mean(axis=2)
+        d_fg = np.abs(e_c - af).mean(axis=2)
+        mask = (d_fg < d_bg).astype(np.uint8)
+        kernel = np.ones((5, 5), np.uint8)
+        mask = cv2.morphologyEx(mask, cv2.MORPH_CLOSE, kernel)
+        mask = cv2.morphologyEx(mask, cv2.MORPH_OPEN, kernel)
+
+        out.append(dict(input=a_c.copy(), p_fg=p_fg, trimap=trimap,
+                        mask=mask))
+    return out
 
 
-def decode_reference_stages(group: dict):
-    """(input_bgr, ref_posterior, ref_trimap, ref_mask) at content-box res."""
-    a = panel(group[0])
-    y0, y1, x0, x1 = content_box(a)
-    crop = slice(y0, y1), slice(x0, x1)
-    a_c = a[crop].astype(np.float32)
-
-    # (c): gray = 255·(1 − P(FG))  →  P(FG) = 1 − gray/255
-    c_gray = panel(group[2])[crop].astype(np.float32).mean(axis=2)
-    posterior = np.clip(1.0 - c_gray / 255.0, 0.0, 1.0)
-
-    # (d): nearest of the four quantisation levels (video compression
-    # perturbs the grays by a few counts).
-    d_gray = panel(group[3])[crop].astype(np.float32).mean(axis=2)
-    levels = np.array(sorted(TRI_LEVELS), np.float32)        # [40,110,200,245]
-    lab_of = np.array([TRI_LEVELS[int(v)] for v in levels], np.uint8)
-    tri = lab_of[np.argmin(np.abs(d_gray[..., None] - levels), axis=-1)]
-
-    # (e): invert the cutout compositing (demo_eval.py logic).
-    e_c = panel(group[4])[crop].astype(np.float32)
-    d_bg = np.abs(e_c - (0.93 * 255.0 + 0.07 * a_c)).mean(axis=2)
-    d_fg = np.abs(e_c - a_c).mean(axis=2)
-    mask = (d_fg < d_bg).astype(np.uint8)
-    kernel = np.ones((5, 5), np.uint8)
-    mask = cv2.morphologyEx(mask, cv2.MORPH_CLOSE, kernel)
-    mask = cv2.morphologyEx(mask, cv2.MORPH_OPEN, kernel)
-
-    return panel(group[0])[crop].copy(), posterior, tri, mask
+def resize_stages(st: dict, max_size: int) -> dict:
+    h, w = st["input"].shape[:2]
+    s = max_size / max(h, w)
+    if s >= 1.0:
+        return st
+    size = (int(w * s), int(h * s))
+    return dict(
+        input=cv2.resize(st["input"], size, interpolation=cv2.INTER_AREA),
+        p_fg=cv2.resize(st["p_fg"], size, interpolation=cv2.INTER_AREA),
+        trimap=cv2.resize(st["trimap"], size,
+                          interpolation=cv2.INTER_NEAREST),
+        mask=cv2.resize(st["mask"], size, interpolation=cv2.INTER_NEAREST),
+    )
 
 
-def tri_fg(tri: np.ndarray) -> np.ndarray:
-    """Binary foreground view of a 4-label trimap (FG ∪ PR_FG)."""
-    return ((tri == 1) | (tri == 3)).astype(np.uint8)
+def run_cv2_grabcut(bgr: np.ndarray, trimap: np.ndarray,
+                    n_iter: int = 5) -> np.ndarray:
+    """The reference's refinement stage verbatim: cv2.grabCut with mask
+    init (reference grabcut.py:96-149), with its degenerate-trimap
+    promotion guards."""
+    t = trimap.copy()
+    if not (t == 1).any() and (t == 3).any():
+        t[t == 3] = 1
+    if not (t == 0).any() and (t == 2).any():
+        t[t == 2] = 0
+    fg_side = np.isin(t, (1, 3))
+    if fg_side.all() or (~fg_side).all():
+        return fg_side.astype(np.uint8)
+    bgd = np.zeros((1, 65), np.float64)
+    fgd = np.zeros((1, 65), np.float64)
+    m = t.copy()
+    cv2.grabCut(bgr, m, None, bgd, fgd, n_iter, cv2.GC_INIT_WITH_MASK)
+    return np.isin(m, (1, 3)).astype(np.uint8)
 
 
 def main():
@@ -109,13 +145,12 @@ def main():
     ap.add_argument("--checkpoint", type=str,
                     default="examples/flagship512_resgcn_d128.msgpack")
     ap.add_argument("--video", type=str, default="/root/reference/demo.mp4")
-    ap.add_argument("--out", type=str, default="/tmp/stage_swap_grid.png")
     ap.add_argument("--n-segments", type=int, default=500)
     ap.add_argument("--threshold", type=float, default=0.65)
     ap.add_argument("--filter-radius", type=int, default=4)
     ap.add_argument("--max-size", type=int, default=512)
     ap.add_argument("--ms-scales", type=str, default="1.0,0.75")
-    ap.add_argument("--keep-largest", action="store_true")
+    ap.add_argument("--out", type=str, default="/tmp/stage_swap_grid.png")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -124,108 +159,103 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     from gcn_grabcut_tpu.utils import setup_compilation_cache
     setup_compilation_cache()
-    import jax.numpy as jnp
-    from gcn_grabcut_tpu import (
-        GCNGrabCutPipeline, SuperpixelGraphConfig, GrabCut, GrabCutConfig,
-        build_graph, load_model_from_checkpoint, refine_trimap,
-        seed_from_prior, clean_mask, project_to_pixels, CLASS_FG)
+    from gcn_grabcut_tpu import (GCNGrabCutPipeline, SuperpixelGraphConfig,
+                                 load_model_from_checkpoint, GrabCut,
+                                 clean_mask)
 
     ms_scales = (tuple(float(s) for s in args.ms_scales.split(","))
                  if args.ms_scales and args.ms_scales.lower() != "none"
                  else None)
-    groups = collect_stage_sets(args.video)
-    print(f"recovered {len(groups)} photos with all five stage panels")
+
+    stages = [resize_stages(s, args.max_size)
+              for s in collect_stages(args.video)]
+    print(f"recovered {len(stages)} photos with posterior+trimap+mask")
 
     model, variables, _ = load_model_from_checkpoint(args.checkpoint)
-    sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
-    pipe = GCNGrabCutPipeline(model, variables, sp_config=sp_cfg)
+    pipe = GCNGrabCutPipeline(
+        model, variables,
+        sp_config=SuperpixelGraphConfig(n_segments=args.n_segments))
 
+    cols = ["ours_full", "ours_cv2", "reftri_ours", "reftri_cv2",
+            "tri_iou", "post_iou", "post_mae"]
     rows = []
-    table = []
-    for i, g in enumerate(groups):
-        bgr, ref_post, ref_tri, ref_mask = decode_reference_stages(g)
-        h, w = bgr.shape[:2]
-        s = args.max_size / max(h, w)
-        if s < 1.0:
-            hw = (int(w * s), int(h * s))
-            bgr = cv2.resize(bgr, hw, interpolation=cv2.INTER_AREA)
-            ref_post = cv2.resize(ref_post, hw,
-                                  interpolation=cv2.INTER_LINEAR)
-            ref_tri = cv2.resize(ref_tri, hw,
-                                 interpolation=cv2.INTER_NEAREST)
-            ref_mask = cv2.resize(ref_mask, hw,
-                                  interpolation=cv2.INTER_NEAREST)
+    grid_rows = []
+    for i, st in enumerate(stages):
+        bgr, ref_mask, ref_tri = st["input"], st["mask"], st["trimap"]
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
 
-        # --- OUR stages (the scalar staged path, same protocol) ----------
-        graph = build_graph(rgb, sp_cfg)
-        probs = pipe.predict_probs(graph)
-        our_post = np.asarray(project_to_pixels(
-            jnp.asarray(probs[:, CLASS_FG].astype(np.float32)),
-            jnp.asarray(graph.segments)))
-        our_tri = refine_trimap(probs, graph.segments, rgb,
-                                args.threshold, args.threshold,
-                                radius=args.filter_radius)
-        our_tri = seed_from_prior(our_tri, graph)
         res = pipe.segment(rgb, threshold_fg=args.threshold,
                            threshold_bg=args.threshold,
                            filter_radius=args.filter_radius,
-                           keep_largest=args.keep_largest,
                            ms_scales=ms_scales)
-        our_mask = res.binary_mask
+        our_tri = res.trimap
 
-        # --- refine-swap: THEIR trimap through OUR GrabCut + cleanup -----
-        gc = GrabCut(rgb, GrabCutConfig())
-        swap_mask = gc.run_with_trimap(ref_tri.copy())
-        swap_mask = np.asarray(clean_mask(swap_mask, 0.002,
-                                          args.keep_largest))
+        def post(mask):
+            return clean_mask(mask.astype(np.uint8), min_area_ratio=0.002)
 
-        m = {
-            "posterior_mae": float(np.abs(our_post - ref_post).mean()),
-            "posterior_iou": iou(our_post > 0.5, ref_post > 0.5),
-            "trimap_agree": float((our_tri == ref_tri).mean()),
-            "trimap_fg_iou": iou(tri_fg(our_tri) > 0,
-                                 tri_fg(ref_tri) > 0),
-            "refine_swap_iou": iou(swap_mask > 0, ref_mask > 0),
-            "end_to_end_iou": iou(our_mask > 0, ref_mask > 0),
-        }
-        table.append(m)
-        print(f"photo {i}: " + "  ".join(f"{k}={v:.3f}"
-                                         for k, v in m.items()))
+        m_ours_cv2 = post(run_cv2_grabcut(bgr, our_tri))
+        m_reftri_ours = post(
+            GrabCut(rgb).run_with_trimap(ref_tri.copy()))
+        m_reftri_cv2 = post(run_cv2_grabcut(bgr, ref_tri))
 
-        def gg(x):   # grayscale → BGR panel
-            return cv2.cvtColor((np.clip(x, 0, 1) * 255).astype(np.uint8),
-                                cv2.COLOR_GRAY2BGR)
+        r = dict(
+            ours_full=iou(res.binary_mask > 0, ref_mask > 0),
+            ours_cv2=iou(m_ours_cv2 > 0, ref_mask > 0),
+            reftri_ours=iou(m_reftri_ours > 0, ref_mask > 0),
+            reftri_cv2=iou(m_reftri_cv2 > 0, ref_mask > 0),
+            tri_iou=iou(np.isin(our_tri, (1, 3)), np.isin(ref_tri, (1, 3))),
+            post_iou=float("nan"),
+            post_mae=float("nan"),
+        )
+        # Posterior comparison: our region posterior projected to pixels.
+        try:
+            from gcn_grabcut_tpu import (build_graph, project_to_pixels,
+                                         CLASS_FG)
+            graph = build_graph(rgb, pipe.sp_config)
+            probs = pipe.predict_probs(graph)
+            ours_pfg = project_to_pixels(
+                probs[:, CLASS_FG].astype(np.float32),
+                np.asarray(graph.segments))
+            r["post_iou"] = iou(ours_pfg > 0.5, st["p_fg"] > 0.5)
+            r["post_mae"] = float(np.abs(ours_pfg - st["p_fg"]).mean())
+        except Exception as e:  # pragma: no cover - diagnostic only
+            print(f"  posterior comparison skipped: {e}")
+        rows.append(r)
+        print(f"photo {i}: " + "  ".join(f"{c}={r[c]:.3f}" for c in cols))
 
-        def gt(t):   # trimap → gray levels like the demo
-            lut = np.zeros(4, np.uint8)
-            for g_, l_ in TRI_LEVELS.items():
-                lut[l_] = g_
-            return cv2.cvtColor(lut[t], cv2.COLOR_GRAY2BGR)
+        def vis(mask):
+            v = bgr.copy()
+            v[mask == 0] = (0.9 * 255 + 0.1 * v[mask == 0]).astype(np.uint8)
+            return v
 
-        row = np.concatenate([
-            bgr, gg(ref_post), gg(our_post), gt(ref_tri), gt(our_tri),
-            gg(ref_mask.astype(np.float32)), gg(swap_mask.astype(np.float32)),
-            gg(our_mask.astype(np.float32))], axis=1)
-        sc = 240 / row.shape[0]
-        rows.append(cv2.resize(row, (int(row.shape[1] * sc), 240)))
+        def tri_vis(t):
+            lv = np.zeros(t.shape, np.uint8)
+            for lab, g in ((0, 245), (2, 200), (3, 110), (1, 40)):
+                lv[t == lab] = g
+            return cv2.cvtColor(lv, cv2.COLOR_GRAY2BGR)
 
-    if rows:
-        wmax = max(r.shape[1] for r in rows)
-        rows = [cv2.copyMakeBorder(r, 0, 0, 0, wmax - r.shape[1],
-                                   cv2.BORDER_CONSTANT, value=(255,) * 3)
-                for r in rows]
-        cv2.imwrite(args.out, np.concatenate(rows, axis=0))
-        print(f"grid (input | refP | ourP | refT | ourT | refM | swapM | "
-              f"ourM): {args.out}")
+        row = np.concatenate(
+            [bgr, vis(ref_mask), tri_vis(ref_tri), tri_vis(our_tri),
+             vis(res.binary_mask), vis(m_reftri_ours)], axis=1)
+        sc = 260 / row.shape[0]
+        grid_rows.append(
+            cv2.resize(row, (int(row.shape[1] * sc), 260)))
 
-    keys = list(table[0].keys())
-    print("\n| photo | " + " | ".join(keys) + " |")
-    print("|---|" + "---|" * len(keys))
-    for i, m in enumerate(table):
-        print(f"| {i} | " + " | ".join(f"{m[k]:.3f}" for k in keys) + " |")
-    print("| mean | " + " | ".join(
-        f"{np.mean([m[k] for m in table]):.3f}" for k in keys) + " |")
+    print("\ncolumns: input | ref mask | ref trimap | our trimap | "
+          "ours full | ref-trimap->our GrabCut")
+    if grid_rows:
+        wmax = max(r.shape[1] for r in grid_rows)
+        grid_rows = [cv2.copyMakeBorder(r, 0, 0, 0, wmax - r.shape[1],
+                                        cv2.BORDER_CONSTANT,
+                                        value=(255,) * 3)
+                     for r in grid_rows]
+        cv2.imwrite(args.out, np.concatenate(grid_rows, axis=0))
+        print(f"grid: {args.out}")
+
+    print("\nmean over photos:")
+    for c in cols:
+        vals = [r[c] for r in rows if np.isfinite(r[c])]
+        print(f"  {c:12s} {np.mean(vals):.3f}")
 
 
 if __name__ == "__main__":
