@@ -641,7 +641,12 @@ def _real_texture_crop(rng: np.random.RandomState, size: int,
 
 def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
                                  seed: int = 99,
-                                 real_textures: bool = False) -> list[dict]:
+                                 real_textures: bool = False,
+                                 p_piebald: float = 0.30,
+                                 p_achromatic: float = 0.15,
+                                 p_vegetation: float = 0.55,
+                                 p_frame: float = 0.25,
+                                 p_vignette: float = 0.30) -> list[dict]:
     """Photograph-statistics training distribution: scene-like backgrounds
     (two soft zones with a horizon, multi-scale texture, vignette), one
     salient multi-part object (overlapping ellipse parts with internal
@@ -783,7 +788,7 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         #   * free colour (55%): random base + contrasting patches.
         obj = np.zeros_like(img)
         fill_mode = rng.rand()
-        if fill_mode < 0.30:
+        if fill_mode < p_piebald:
             light = np.clip(rng.uniform(185, 248)
                             + rng.uniform(-12, 12, 3), 5, 255
                             ).astype(np.float32)
@@ -801,7 +806,7 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
                 alt_col if rng.rand() < 0.8 else
                 np.clip(base_col + rng.randint(-60, 60, 3), 5, 250)
                 for _ in range(5)]
-        elif fill_mode < 0.45:
+        elif fill_mode < p_piebald + p_achromatic:
             g_ = float(rng.choice([rng.uniform(10, 60),
                                    rng.uniform(180, 245)]))
             base_col = np.clip(
@@ -896,7 +901,7 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         # statistics vegetation is (nearly) always background; a model that
         # has never seen a salient-looking bush picks it over a pale animal
         # (the round-3 framed-beagle failure: our posterior chose the bush).
-        if bg_kind != "bokeh" and rng.rand() < 0.55:
+        if bg_kind != "bokeh" and rng.rand() < p_vegetation:
             for _ in range(rng.randint(1, 3)):
                 vx, vy = rng.randint(0, size, 2)
                 veg = np.zeros((size, size), np.uint8)
@@ -932,7 +937,7 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         # vignette: radial fall-off towards the corners (real lenses and
         # edited photos darken borders; the border-colour BG prior must not
         # read that as a distinct background class)
-        if rng.rand() < 0.3:
+        if rng.rand() < p_vignette:
             r2 = (yy - 0.5) ** 2 + (xx - 0.5) ** 2
             img *= (1.0 - rng.uniform(0.25, 0.6)
                     * np.clip(r2 / 0.5, 0, 1)[..., None])
@@ -941,7 +946,7 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         # (common in curated photo sets; the demo's third photo ships one).
         # Object pixels never reach under the frame, so the mask is zeroed
         # there too.
-        if rng.rand() < 0.25:
+        if rng.rand() < p_frame:
             t_ = rng.randint(max(2, size // 64), size // 14)
             fcol = float(rng.choice([rng.uniform(0, 25),
                                      rng.uniform(225, 255)]))

@@ -1,0 +1,118 @@
+"""Train one photo-synthetic generator configuration and score it on the
+reference-demo head-to-head (tools/demo_eval.py protocol).
+
+One process per config: build 300 hard + 400 photo samples with the given
+generator probabilities, prepare graphs (hard-synthetic graphs are shared
+across configs via --cache-dir), train the flagship recipe, then run the
+three demo photos and print per-photo + mean agreement.
+
+  python tools/ablate_photogen.py --name D_both \
+      --p-piebald 0.3 --p-achromatic 0.15 --p-vegetation 0.55 \
+      --p-frame 0 --p-vignette 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import cv2  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--name", required=True)
+    ap.add_argument("--p-piebald", type=float, default=0.30)
+    ap.add_argument("--p-achromatic", type=float, default=0.15)
+    ap.add_argument("--p-vegetation", type=float, default=0.55)
+    ap.add_argument("--p-frame", type=float, default=0.25)
+    ap.add_argument("--p-vignette", type=float, default=0.30)
+    ap.add_argument("--hard", type=int, default=300)
+    ap.add_argument("--photo", type=int, default=400)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cache-dir", type=str, default="/tmp/ablate_cache")
+    ap.add_argument("--out-json", type=str, default="/tmp/ablate_results.jsonl")
+    args = ap.parse_args()
+
+    from gcn_grabcut_tpu.utils import setup_compilation_cache
+    setup_compilation_cache()
+
+    from gcn_grabcut_tpu.data.dataset import (
+        make_hard_synthetic_dataset, make_photo_synthetic_dataset,
+        prepare_dataset, split_dataset)
+    from gcn_grabcut_tpu import SuperpixelGraphConfig
+    from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+
+    t_all = time.time()
+    samples = make_hard_synthetic_dataset(
+        n=args.hard, size=args.size, seed=args.seed)
+    samples += make_photo_synthetic_dataset(
+        n=args.photo, size=args.size, seed=args.seed + 1,
+        p_piebald=args.p_piebald, p_achromatic=args.p_achromatic,
+        p_vegetation=args.p_vegetation, p_frame=args.p_frame,
+        p_vignette=args.p_vignette)
+    train_s, val_s, _ = split_dataset(samples, seed=args.seed)
+
+    sp_cfg = SuperpixelGraphConfig(n_segments=300)
+    train_recs = prepare_dataset(train_s, sp_cfg, cache_dir=args.cache_dir,
+                                 desc="train: ", keep_segments=False)
+    val_recs = prepare_dataset(val_s, sp_cfg, cache_dir=args.cache_dir,
+                               desc="val: ", keep_segments=False)
+
+    cfg = TrainConfig(n_epochs=args.epochs, weight_decay=3e-4,
+                      early_stop_patience=30,
+                      t0=max(args.epochs // 3, 1), seed=args.seed)
+    save_dir = f"/tmp/ckpt_{args.name}"
+    tr = Trainer("resgcn", dict(hidden_channels=128, n_layers=6),
+                 cfg, save_dir=save_dir)
+    history = tr.fit([r[0] for r in train_recs], [r[0] for r in val_recs])
+    best_val = max(history["val_score"]) if history["val_score"] else -1.0
+    train_s_elapsed = time.time() - t_all
+
+    # --- demo head-to-head (same protocol as tools/demo_eval.py) ----------
+    from demo_eval import collect_images, iou
+    from gcn_grabcut_tpu import (GCNGrabCutPipeline, SuperpixelGraphConfig,
+                                 load_model_from_checkpoint)
+    pairs = collect_images("/root/reference/demo.mp4")
+    mdl, variables, _ = load_model_from_checkpoint(
+        f"{save_dir}/best_model.msgpack")
+    pipe = GCNGrabCutPipeline(
+        mdl, variables, sp_config=SuperpixelGraphConfig(n_segments=500))
+    ious = []
+    for i, (bgr, ref_mask) in enumerate(pairs):
+        h, w = bgr.shape[:2]
+        s = 512 / max(h, w)
+        if s < 1.0:
+            bgr = cv2.resize(bgr, (int(w * s), int(h * s)),
+                             interpolation=cv2.INTER_AREA)
+            ref_mask = cv2.resize(ref_mask, (int(w * s), int(h * s)),
+                                  interpolation=cv2.INTER_NEAREST)
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        res = pipe.segment(rgb, threshold_fg=0.65, threshold_bg=0.65,
+                           filter_radius=4, ms_scales=(1.0, 0.75))
+        v = iou(res.binary_mask > 0, ref_mask > 0)
+        ious.append(float(v))
+        print(f"[{args.name}] photo {i}: {v:.3f}")
+    rec = dict(name=args.name, ious=ious, mean=float(np.mean(ious)),
+               p_piebald=args.p_piebald, p_achromatic=args.p_achromatic,
+               p_vegetation=args.p_vegetation, p_frame=args.p_frame,
+               p_vignette=args.p_vignette, epochs=args.epochs,
+               hard=args.hard, photo=args.photo, seed=args.seed,
+               best_val=float(best_val),
+               train_time_s=round(train_s_elapsed, 1))
+    print(f"[{args.name}] mean={rec['mean']:.3f} val={rec['best_val']:.3f}")
+    with open(args.out_json, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
