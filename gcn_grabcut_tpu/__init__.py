@@ -26,9 +26,13 @@ from .metrics import (  # noqa: F401
 from .models import (  # noqa: F401
     build_model, init_model, apply_model, predict_probs,
     probs_to_node_trimap, project_to_pixels, probs_to_trimap,
+    stack_variables, is_ensemble,
     ResGCNNet, GCNTrimapNet, GATTrimapNet,
 )
-from .train import Trainer, TrainConfig, load_model_from_checkpoint  # noqa: F401
+from .train import (  # noqa: F401
+    Trainer, TrainConfig, load_model_from_checkpoint,
+    load_ensemble_from_checkpoints,
+)
 
 # ---------------------------------------------------------------------------
 # Reference facade parity: every public name the reference exports at package

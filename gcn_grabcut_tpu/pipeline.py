@@ -163,6 +163,27 @@ def _batch_budget() -> int:
     return BATCH_SOLVE_PIXEL_BUDGET
 
 
+def _apply_large_any(model, variables, graph):
+    """apply_large for plain or ensemble variables.  The banded-SpMM path
+    builds per-member plans, so ensemble members loop on the host (the
+    large path is per-image already; M extra dispatches, not M extra
+    compiles) and merge as mean class probability, log'd like
+    factory._apply_eval_ensemble_jit."""
+    from .models.large import apply_large
+    from .models.factory import is_ensemble, _ENSEMBLE_KEY
+    if not is_ensemble(variables):
+        return apply_large(model, variables, graph)
+    stacked = variables[_ENSEMBLE_KEY]
+    n_members = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+    acc = None
+    for m in range(n_members):
+        member = jax.tree_util.tree_map(lambda a: a[m], stacked)
+        p = jax.nn.softmax(
+            apply_large(model, member, graph).astype(jnp.float32), -1)
+        acc = p if acc is None else acc + p
+    return jnp.log(acc / n_members + 1e-9)
+
+
 @functools.partial(jax.jit, static_argnames=("filter_radius",))
 def _trimap_stage_device(probs, segments, grays, priors, node_masks,
                          thr_fg, thr_bg, filter_radius: int,
@@ -377,8 +398,8 @@ class GCNGrabCutPipeline:
                 and (getattr(self.model, "supports_spmm_aggregators", False)
                      or getattr(self.model, "supports_banded_attention",
                                 False))):
-            from .models.large import apply_large
-            logits = apply_large(self.model, self.variables, graph.graph)
+            logits = _apply_large_any(self.model, self.variables,
+                                      graph.graph)
         else:
             logits = apply_model(self.model, self.variables, graph.graph,
                                  train=False)
@@ -563,10 +584,9 @@ class GCNGrabCutPipeline:
         if large and (getattr(self.model, "supports_spmm_aggregators", False)
                       or getattr(self.model, "supports_banded_attention",
                                  False)):
-            from .models.large import apply_large
             logits = jnp.concatenate([
-                apply_large(self.model, self.variables,
-                            _slice_graph_batch(batch, b))
+                _apply_large_any(self.model, self.variables,
+                                 _slice_graph_batch(batch, b))
                 for b in range(B)], axis=0)
         else:
             logits = apply_model(self.model, self.variables, batch,

@@ -54,6 +54,48 @@ def load_checkpoint(path: str | Path):
     return payload["params"], payload["batch_stats"], meta
 
 
+def load_ensemble_from_checkpoints(paths, dtype=None):
+    """Load M architecture-compatible checkpoints as one inference
+    ensemble: (model, ensemble_variables, metas).
+
+    The returned variables bundle (models.factory.stack_variables) runs all
+    members in a single vmapped jit and averages class probabilities —
+    see stack_variables for why this is near-free on this backend.  All
+    checkpoints must share variant + model kwargs (the first file's
+    metadata builds the module)."""
+    from ..models.factory import build_model, stack_variables
+    paths = [Path(p) for p in paths]
+    if not paths:
+        raise ValueError("load_ensemble_from_checkpoints needs >= 1 path")
+    metas, var_list = [], []
+    for p in paths:
+        params, batch_stats, meta = load_checkpoint(p)
+        metas.append(meta)
+        var_list.append({"params": params, "batch_stats": batch_stats})
+    ref_kw = metas[0].get("model_kwargs", {})
+    ref_variant = metas[0].get("variant", "resgcn")
+
+    def shape_kw(kw):
+        # Keys that change parameter shapes; regularisation-only kwargs
+        # (dropout) may legitimately differ between training runs.
+        keys = ("in_channels", "edge_channels", "hidden_channels",
+                "n_layers", "n_classes", "n_heads")
+        return {k: kw[k] for k in keys if k in kw}
+
+    for p, m in zip(paths[1:], metas[1:]):
+        if (m.get("variant", "resgcn") != ref_variant
+                or shape_kw(m.get("model_kwargs", {})) != shape_kw(ref_kw)):
+            raise ValueError(
+                f"checkpoint {p} is architecture-incompatible with "
+                f"{paths[0]} ({m.get('variant')}/{m.get('model_kwargs')} "
+                f"vs {ref_variant}/{ref_kw})")
+    kwargs = dict(ref_kw)
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    model = build_model(ref_variant, **kwargs)
+    return model, stack_variables(var_list), metas
+
+
 def load_opt_state(path: str | Path, target: Any):
     """Restore the optimiser state onto a freshly-initialised `target`
     pytree (None if the checkpoint has no optimiser state)."""

@@ -193,3 +193,69 @@ class TestTrimapConversion:
         labels = np.asarray(probs_to_node_trimap(probs, 0.55, 0.55))
         assert labels[0] == 0 and labels[1] == 1
         assert labels[2] == 2 and labels[3] == 3
+
+
+class TestEnsemble:
+    """Inference ensembling (models.factory.stack_variables): the vmapped
+    mean-probability forward.  No reference counterpart — used to cut
+    posterior variance (PERF.md round 4)."""
+
+    def _model_and_graph(self):
+        g = make_chain_graph(10, seed=3)
+        model = build_model("resgcn", hidden_channels=16, n_layers=2)
+        return model, g
+
+    def test_singleton_ensemble_matches_member(self):
+        from gcn_grabcut_tpu.models import stack_variables, is_ensemble
+        model, g = self._model_and_graph()
+        v = init_model(model, jax.random.PRNGKey(0), g)
+        ens = stack_variables([v])
+        assert is_ensemble(ens) and not is_ensemble(v)
+        p1 = jax.nn.softmax(
+            apply_model(model, v, g, train=False).astype(jnp.float32), -1)
+        p2 = jax.nn.softmax(
+            apply_model(model, ens, g, train=False).astype(jnp.float32), -1)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                                   atol=1e-5)
+
+    def test_pair_ensemble_is_mean_probability(self):
+        from gcn_grabcut_tpu.models import stack_variables
+        model, g = self._model_and_graph()
+        va = init_model(model, jax.random.PRNGKey(0), g)
+        vb = init_model(model, jax.random.PRNGKey(1), g)
+        pa = jax.nn.softmax(
+            apply_model(model, va, g, train=False).astype(jnp.float32), -1)
+        pb = jax.nn.softmax(
+            apply_model(model, vb, g, train=False).astype(jnp.float32), -1)
+        ens = stack_variables([va, vb])
+        pe = jax.nn.softmax(
+            apply_model(model, ens, g, train=False).astype(jnp.float32), -1)
+        np.testing.assert_allclose(np.asarray(pe),
+                                   np.asarray((pa + pb) / 2), atol=1e-5)
+
+    def test_checkpoint_roundtrip_ensemble(self, tmp_path):
+        from gcn_grabcut_tpu.train import (save_checkpoint,
+                                           load_ensemble_from_checkpoints)
+        model, g = self._model_and_graph()
+        meta = dict(variant="resgcn",
+                    model_kwargs=dict(hidden_channels=16, n_layers=2))
+        paths = []
+        for s in (0, 1, 2):
+            v = init_model(model, jax.random.PRNGKey(s), g)
+            p = tmp_path / f"m{s}.msgpack"
+            save_checkpoint(p, v["params"], v["batch_stats"], meta)
+            paths.append(p)
+        mdl, ens, metas = load_ensemble_from_checkpoints(paths)
+        assert len(metas) == 3
+        logits = apply_model(mdl, ens, g, train=False)
+        assert np.isfinite(np.asarray(logits)).all()
+        # incompatible architecture refuses loudly
+        v = init_model(build_model("resgcn", hidden_channels=8, n_layers=2),
+                       jax.random.PRNGKey(9), g)
+        bad = tmp_path / "bad.msgpack"
+        save_checkpoint(bad, v["params"], v["batch_stats"],
+                        dict(variant="resgcn",
+                             model_kwargs=dict(hidden_channels=8,
+                                               n_layers=2)))
+        with pytest.raises(ValueError):
+            load_ensemble_from_checkpoints([paths[0], bad])

@@ -110,7 +110,9 @@ def iou(a, b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", type=str,
-                    default="examples/flagship512_resgcn_d128.msgpack")
+                    default="examples/flagship512_resgcn_d128.msgpack",
+                    help="checkpoint path, or comma-separated paths for an "
+                         "inference ensemble (stack_variables)")
     ap.add_argument("--video", type=str, default="/root/reference/demo.mp4")
     ap.add_argument("--out", type=str, default="/tmp/demo_eval_grid.png")
     ap.add_argument("--n-segments", type=int, default=500)
@@ -134,7 +136,8 @@ def main():
     from gcn_grabcut_tpu.utils import setup_compilation_cache
     setup_compilation_cache()
     from gcn_grabcut_tpu import (GCNGrabCutPipeline, SuperpixelGraphConfig,
-                                 load_model_from_checkpoint)
+                                 load_model_from_checkpoint,
+                                 load_ensemble_from_checkpoints)
 
     ms_scales = (tuple(float(s) for s in args.ms_scales.split(","))
                  if args.ms_scales and args.ms_scales.lower() != "none"
@@ -142,7 +145,12 @@ def main():
     pairs = collect_images(args.video)
     print(f"recovered {len(pairs)} (input, reference-mask) pairs")
 
-    model, variables, _ = load_model_from_checkpoint(args.checkpoint)
+    ckpts = args.checkpoint.split(",")
+    if len(ckpts) > 1:
+        model, variables, _ = load_ensemble_from_checkpoints(ckpts)
+        print(f"ensemble of {len(ckpts)} checkpoints")
+    else:
+        model, variables, _ = load_model_from_checkpoint(ckpts[0])
     pipe = GCNGrabCutPipeline(
         model, variables,
         sp_config=SuperpixelGraphConfig(n_segments=args.n_segments))
