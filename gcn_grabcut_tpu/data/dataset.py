@@ -646,7 +646,8 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
                                  p_achromatic: float = 0.15,
                                  p_vegetation: float = 0.55,
                                  p_frame: float = 0.25,
-                                 p_vignette: float = 0.30) -> list[dict]:
+                                 p_vignette: float = 0.30,
+                                 p_lowkey: float = 0.30) -> list[dict]:
     """Photograph-statistics training distribution: scene-like backgrounds
     (two soft zones with a horizon, multi-scale texture, vignette), one
     salient multi-part object (overlapping ellipse parts with internal
@@ -742,8 +743,8 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
 
         # --- object: multi-part union of ellipses ----------------------
         mask = np.zeros((size, size), np.uint8)
-        cx = int(size * rng.uniform(0.3, 0.7))
-        cy = int(size * rng.uniform(0.35, 0.7))
+        cx = int(size * rng.uniform(0.22, 0.78))
+        cy = int(size * rng.uniform(0.3, 0.82))
         scale_o = rng.uniform(0.12, 0.3) * size
         n_parts = rng.randint(2, 6)
         for p in range(n_parts):
@@ -842,6 +843,21 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
         for q in range(6):
             obj[patch_lbl == q] = cols[q]
         obj += rng.randn(size, size, 3) * rng.uniform(3, 14)
+
+        # illumination gradient across the object: real subjects are lit
+        # from one side, so the SAME surface spans bright and midtone
+        # regions.  Flat-lit synthetic objects taught the model that the
+        # shaded continuation of an object is background (the round-4
+        # stage-swap diagnostic: ours p_fg 0.09 vs reference 0.42 on
+        # midtone L in [128,176) object regions).
+        if rng.rand() < 0.6:
+            ang = rng.uniform(0, 2 * np.pi)
+            ramp = ((yy - cy / size) * np.sin(ang)
+                    + (xx - cx / size) * np.cos(ang))
+            span = max(scale_o / size, 1e-3)
+            ramp = np.clip(ramp / (2 * span) + 0.5, 0.0, 1.0)
+            lo_ = rng.uniform(0.45, 0.8)
+            obj *= (lo_ + (1.1 - lo_) * ramp)[..., None]
         if bank and rng.rand() < 0.5:
             # real texture on the OBJECT: full-band crop recentred on the
             # object palette (keeps fur/fabric structure at every scale
@@ -926,6 +942,17 @@ def make_photo_synthetic_dataset(n: int = 200, size: int = 512,
                 img = np.where(veg[..., None] > 0,
                                np.clip((vcol[None, None] + vtex) * shade,
                                        0, 255), img)
+
+        # low-key scene: the subject is better-lit than its surroundings
+        # (flash/porch-light statistics of curated photo sets — the demo's
+        # framed-beagle photo is one).  Darkens the background strongly
+        # while the object keeps most of its exposure.
+        if rng.rand() < p_lowkey:
+            bg_dim = rng.uniform(0.40, 0.72)
+            fg_dim = rng.uniform(0.85, 1.05)
+            dim = np.where(mask > 0, fg_dim, bg_dim).astype(np.float32)
+            dim = cv2.GaussianBlur(dim, (0, 0), size / 80)
+            img *= dim[..., None]
 
         # photometrics: gamma + brightness jitter + sensor noise
         g = rng.uniform(0.75, 1.3)

@@ -34,6 +34,7 @@ def main():
     ap.add_argument("--p-vegetation", type=float, default=0.55)
     ap.add_argument("--p-frame", type=float, default=0.25)
     ap.add_argument("--p-vignette", type=float, default=0.30)
+    ap.add_argument("--p-lowkey", type=float, default=0.30)
     ap.add_argument("--hard", type=int, default=300)
     ap.add_argument("--photo", type=int, default=400)
     ap.add_argument("--size", type=int, default=512)
@@ -59,7 +60,7 @@ def main():
         n=args.photo, size=args.size, seed=args.seed + 1,
         p_piebald=args.p_piebald, p_achromatic=args.p_achromatic,
         p_vegetation=args.p_vegetation, p_frame=args.p_frame,
-        p_vignette=args.p_vignette)
+        p_vignette=args.p_vignette, p_lowkey=args.p_lowkey)
     train_s, val_s, _ = split_dataset(samples, seed=args.seed)
 
     sp_cfg = SuperpixelGraphConfig(n_segments=300)
@@ -105,7 +106,8 @@ def main():
     rec = dict(name=args.name, ious=ious, mean=float(np.mean(ious)),
                p_piebald=args.p_piebald, p_achromatic=args.p_achromatic,
                p_vegetation=args.p_vegetation, p_frame=args.p_frame,
-               p_vignette=args.p_vignette, epochs=args.epochs,
+               p_vignette=args.p_vignette, p_lowkey=args.p_lowkey,
+               epochs=args.epochs,
                hard=args.hard, photo=args.photo, seed=args.seed,
                best_val=float(best_val),
                train_time_s=round(train_s_elapsed, 1))
