@@ -239,9 +239,11 @@ def enforce_connectivity(labels: jnp.ndarray, k: int,
     # 1. components: min linear index reachable through equal labels.
     # Each while iteration batches `unroll` propagation steps: the update
     # is monotone (min), so extra steps after convergence are no-ops and
-    # the fixpoint is unchanged — but every iteration costs ~0.5-4 ms of
-    # tunnel dispatch on top of its compute (CLAUDE.md), so fewer, fatter
-    # iterations win (same pattern as ops/maxflow.py's unroll=4).
+    # the fixpoint is unchanged.  Rationale: each iteration carries
+    # ~0.5-4 ms of tunnel dispatch on top of its compute (CLAUDE.md;
+    # same pattern as ops/maxflow.py's unroll=4).  Measured neutral
+    # within tenancy noise at 1536²/10k (PERF.md follow-up 7) — the
+    # build's dominator lies elsewhere — kept for dispatch-bound links.
     unroll = 4
 
     def cc_step(comp):
