@@ -18,7 +18,9 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Evaluate a trained model")
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint path, or comma-separated paths to run "
+                        "the vmapped inference ensemble")
     p.add_argument("--images", type=str, default=None)
     p.add_argument("--masks", type=str, default=None)
     p.add_argument("--synthetic", type=int, default=0)
@@ -56,7 +58,7 @@ def main(argv=None):
     from ..utils import setup_compilation_cache
     setup_compilation_cache()
 
-    from ..train.checkpoints import load_model_from_checkpoint
+    from ..train.checkpoints import load_model_auto
     from ..pipeline import GCNGrabCutPipeline
     from ..graph_build import SuperpixelGraphConfig
     from ..data.dataset import (
@@ -65,7 +67,9 @@ def main(argv=None):
     from ..metrics import evaluate
     from ..graph_build import build_graph
 
-    model, variables, meta = load_model_from_checkpoint(args.checkpoint)
+    model, variables, meta = load_model_auto(args.checkpoint)
+    if meta.get("ensemble_size", 1) > 1:
+        print(f"[Eval] ensemble of {meta['ensemble_size']} checkpoints")
     sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
     pipe = GCNGrabCutPipeline(model, variables, sp_cfg)
     ms_scales = (tuple(float(s) for s in args.ms_scales.split(","))

@@ -22,7 +22,9 @@ _IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".tif", ".tiff"}
 def parse_args(argv=None):
     p = argparse.ArgumentParser(
         description="Segment images with a trained GCN-GrabCut model (TPU)")
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint path, or comma-separated paths to run "
+                        "the vmapped inference ensemble")
     p.add_argument("--input", required=True,
                    help="an image file or a directory of images")
     p.add_argument("--output-dir", type=str, default="outputs")
@@ -59,7 +61,7 @@ def main(argv=None):
     from ..utils import setup_compilation_cache
     setup_compilation_cache()
 
-    from ..train.checkpoints import load_model_from_checkpoint
+    from ..train.checkpoints import load_model_auto
     from ..pipeline import GCNGrabCutPipeline, colour_trimap
     from ..graph_build import SuperpixelGraphConfig
 
@@ -67,11 +69,11 @@ def main(argv=None):
     if args.bf16:
         import jax.numpy as jnp
         dtype = jnp.bfloat16
-    model, variables, meta = load_model_from_checkpoint(args.checkpoint,
-                                                        dtype=dtype)
+    model, variables, meta = load_model_auto(args.checkpoint, dtype=dtype)
     print(f"[Inference] Loaded {meta.get('variant', '?')} "
           f"(epoch {meta.get('epoch', '?')}, "
-          f"score {meta.get('score', '?')})")
+          f"score {meta.get('score', '?')}, "
+          f"ensemble {meta.get('ensemble_size', 1)})")
 
     pipe = GCNGrabCutPipeline(
         model, variables,

@@ -45,7 +45,9 @@ import numpy as np
 def parse_args(argv=None):
     p = argparse.ArgumentParser(
         description="HTTP segmentation server (micro-batched, warm-compiled)")
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="checkpoint path, or comma-separated paths to serve "
+                        "the vmapped inference ensemble")
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8021)
     p.add_argument("--size", type=int, default=512,
@@ -242,10 +244,12 @@ def build_server(args) -> tuple:
         jax.config.update("jax_platforms", "cpu")
     from ..utils import setup_compilation_cache
     setup_compilation_cache()
-    from .. import (GCNGrabCutPipeline, SuperpixelGraphConfig,
-                    load_model_from_checkpoint)
+    from .. import GCNGrabCutPipeline, SuperpixelGraphConfig
+    from ..train.checkpoints import load_model_auto
 
-    model, variables, _ = load_model_from_checkpoint(args.checkpoint)
+    model, variables, meta = load_model_auto(args.checkpoint)
+    if meta.get("ensemble_size", 1) > 1:
+        print(f"[Serve] ensemble of {meta['ensemble_size']} checkpoints")
     pipe = GCNGrabCutPipeline(
         model, variables,
         sp_config=SuperpixelGraphConfig(n_segments=args.n_segments))

@@ -149,21 +149,28 @@ def evaluate_trimap(trimap, gt_mask) -> TrimapMetrics:
     )
 
 
+#: Aggregate keys exposed by :func:`evaluate_batch`, mapped to the
+#: SegmentationMetrics attribute each summarises (same surface as
+#: reference metrics.py:204-231).
+_BATCH_FIELDS = {"iou": "iou", "dice": "dice", "bf1": "boundary_f1"}
+
+
 def evaluate_batch(results: list[dict]) -> dict:
-    """Mean ± std over result dicts with binary_mask / gt_mask keys
-    (reference metrics.py:204-231)."""
-    all_iou, all_dice, all_bf1 = [], [], []
-    for r in results:
-        m = evaluate(r["binary_mask"], r["gt_mask"])
-        all_iou.append(m.iou)
-        all_dice.append(m.dice)
-        all_bf1.append(m.boundary_f1)
-    return {
-        "mean_iou": float(np.mean(all_iou)),
-        "std_iou": float(np.std(all_iou)),
-        "mean_dice": float(np.mean(all_dice)),
-        "std_dice": float(np.std(all_dice)),
-        "mean_bf1": float(np.mean(all_bf1)),
-        "std_bf1": float(np.std(all_bf1)),
-        "n": len(results),
-    }
+    """Mean ± std of per-sample metrics over result dicts carrying
+    ``binary_mask`` / ``gt_mask`` arrays.
+
+    Vectorised over the per-sample SegmentationMetrics: one (n_samples,
+    n_fields) matrix, reduced column-wise.
+    """
+    per_sample = [evaluate(r["binary_mask"], r["gt_mask"]) for r in results]
+    table = np.array(
+        [[getattr(m, attr) for attr in _BATCH_FIELDS.values()]
+         for m in per_sample],
+        dtype=np.float64).reshape(len(per_sample), len(_BATCH_FIELDS))
+    means = table.mean(axis=0) if len(per_sample) else np.zeros(len(_BATCH_FIELDS))
+    stds = table.std(axis=0) if len(per_sample) else np.zeros(len(_BATCH_FIELDS))
+    summary: dict = {"n": len(per_sample)}
+    for col, key in enumerate(_BATCH_FIELDS):
+        summary[f"mean_{key}"] = float(means[col])
+        summary[f"std_{key}"] = float(stds[col])
+    return summary

@@ -96,6 +96,29 @@ def load_ensemble_from_checkpoints(paths, dtype=None):
     return model, stack_variables(var_list), metas
 
 
+def load_model_auto(spec, dtype=None):
+    """CLI-facing loader: `spec` is one checkpoint path or a
+    comma-separated list (or a sequence of paths).  A single path loads a
+    plain model; several load the vmapped inference ensemble — so the
+    README-recommended 6-checkpoint configuration is reachable from every
+    product CLI (`cli.evaluate`, `cli.serve`, `cli.inference`).
+
+    Returns (model, variables, meta) with `meta["ensemble_size"]` set."""
+    if isinstance(spec, (str, Path)):
+        paths = [p for p in str(spec).split(",") if p]
+    else:
+        paths = [str(p) for p in spec]
+    if len(paths) == 1:
+        model, variables, meta = load_model_from_checkpoint(paths[0],
+                                                            dtype=dtype)
+        meta = dict(meta, ensemble_size=1)
+        return model, variables, meta
+    model, variables, metas = load_ensemble_from_checkpoints(paths,
+                                                             dtype=dtype)
+    meta = dict(metas[0], ensemble_size=len(paths))
+    return model, variables, meta
+
+
 def load_opt_state(path: str | Path, target: Any):
     """Restore the optimiser state onto a freshly-initialised `target`
     pytree (None if the checkpoint has no optimiser state)."""

@@ -14,6 +14,38 @@ from pathlib import Path
 from typing import Iterator, Optional
 
 
+def _cache_generation_tag() -> str:
+    """Fingerprint of the software/hardware generation AOT entries depend on.
+
+    XLA:CPU AOT cache entries record the machine features they were compiled
+    for; loading an entry written under a different container generation
+    (different jaxlib, or a host with different CPU features) emits a
+    machine-feature warning that XLA documents can escalate to SIGILL/segv.
+    Namespacing the cache directory by this tag makes a new generation start
+    a fresh, empty namespace instead of ingesting hazardous entries.
+    """
+    import hashlib
+    import platform
+
+    parts = [platform.machine()]
+    try:
+        import jax
+        import jaxlib
+        parts += [jax.__version__, jaxlib.__version__]
+    except Exception:  # pragma: no cover - jax is a hard dep in practice
+        pass
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    # CPU feature set decides which AOT code is runnable.
+                    parts.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:12]
+
+
 def setup_compilation_cache(cache_dir: Optional[str | Path] = None) -> None:
     """Enable JAX's persistent compilation cache.
 
@@ -21,12 +53,18 @@ def setup_compilation_cache(cache_dir: Optional[str | Path] = None) -> None:
     take minutes; the on-disk cache turns every repeat compile (across
     processes) into ~seconds.  Called by every CLI, bench.py and the driver
     entry points.  Override the location with $GCNGC_CACHE_DIR.
+
+    The cache is namespaced by a container-generation fingerprint
+    (jax/jaxlib versions + host CPU features) so entries AOT-compiled by a
+    previous container generation are never loaded — see
+    :func:`_cache_generation_tag`.
     """
     import os
     import jax
-    cache_dir = (cache_dir or os.environ.get("GCNGC_CACHE_DIR")
-                 or str(Path.home() / ".cache" / "gcn_grabcut_tpu" / "jax"))
-    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    base = (cache_dir or os.environ.get("GCNGC_CACHE_DIR")
+            or str(Path.home() / ".cache" / "gcn_grabcut_tpu" / "jax"))
+    cache_dir = Path(base) / _cache_generation_tag()
+    cache_dir.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(cache_dir))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

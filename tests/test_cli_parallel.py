@@ -359,3 +359,37 @@ class TestServeCLI:
         finally:
             server.shutdown()
             server.server_close()
+
+    def test_multi_checkpoint_ensemble_serving(self, tmp_path, circle_image):
+        """The README-recommended multi-checkpoint ensemble must be
+        reachable from the serving layer: `--checkpoint a,b` loads the
+        stacked-params ensemble and serves requests from it."""
+        from gcn_grabcut_tpu.cli.train import main as train_main
+        from gcn_grabcut_tpu.cli.serve import build_server, parse_args
+
+        train_main([
+            "--synthetic", "8", "--epochs", "1", "--batch", "4",
+            "--hidden", "24", "--layers", "2", "--n-segments", "40",
+            "--save-dir", str(tmp_path / "ck"), "--no-bf16",
+        ])
+        ck = tmp_path / "ck"
+        members = [p for p in (ck / "final_model.msgpack",
+                               ck / "best_model.msgpack") if p.exists()]
+        assert members, "training saved no checkpoint"
+        spec = ",".join(str(members[i % len(members)]) for i in range(2))
+        args = parse_args([
+            "--checkpoint", spec,
+            "--port", "0", "--size", "96", "--n-segments", "40",
+            "--batch", "2", "--batch-wait-ms", "50", "--no-warmup",
+        ])
+        server, batcher = build_server(args)
+        try:
+            img, _ = circle_image
+            req = batcher.submit(img, {})
+            assert req.event.wait(timeout=600)
+            assert req.error is None
+            mask, _dt = req.result
+            assert mask.shape == img.shape[:2]
+            assert set(np.unique(mask)) <= {0, 1}
+        finally:
+            server.server_close()

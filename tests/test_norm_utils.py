@@ -71,3 +71,36 @@ class TestUtils:
         with profile_trace(tmp_path / "prof"):
             (jnp.ones((64, 64)) @ jnp.ones((64, 64))).block_until_ready()
         assert any((tmp_path / "prof").rglob("*"))
+
+
+class TestCompilationCacheGenerations:
+    """AOT entries from a previous container generation must not be loaded
+    (machine-feature mismatch can escalate to SIGILL)."""
+
+    def test_tag_is_stable_and_filesystem_safe(self):
+        from gcn_grabcut_tpu.utils import _cache_generation_tag
+        tag = _cache_generation_tag()
+        assert tag == _cache_generation_tag()
+        assert tag.isalnum() and len(tag) == 12
+
+    def test_stale_generation_entries_are_not_visible(self, tmp_path,
+                                                      monkeypatch):
+        import jax
+        from gcn_grabcut_tpu import utils
+
+        # Simulate an entry AOT-compiled by a previous container generation.
+        stale_dir = tmp_path / "deadbeef0000"
+        stale_dir.mkdir()
+        (stale_dir / "xla_entry.bin").write_bytes(b"old-generation-aot")
+
+        monkeypatch.setattr(utils, "_cache_generation_tag",
+                            lambda: "aaaaaaaaaaaa")
+        prev = jax.config.jax_compilation_cache_dir
+        try:
+            utils.setup_compilation_cache(tmp_path)
+            active = jax.config.jax_compilation_cache_dir
+            assert active == str(tmp_path / "aaaaaaaaaaaa")
+            # Fresh namespace: the stale entry is outside it.
+            assert not any((tmp_path / "aaaaaaaaaaaa").iterdir())
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
