@@ -290,7 +290,7 @@ def _cache_key(sample: dict, cfg: SuperpixelGraphConfig,
                        sample.get("aug_seed"))).encode())
     h.update(repr((cfg.n_segments, cfg.compactness, cfg.sigma, cfg.use_lab,
                    cfg.connectivity, cfg.n_nonlocal, cfg.slic_iters,
-                   fg_t, bg_t)).encode())
+                   cfg.bg_connectivity, fg_t, bg_t)).encode())
     return h.hexdigest()[:20]
 
 

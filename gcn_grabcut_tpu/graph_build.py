@@ -40,6 +40,10 @@ class SuperpixelGraphConfig:
     connectivity: int = 4
     n_nonlocal: int = 4
     slic_iters: int = 10
+    # Opt-in geodesic boundary-connectivity background cue (frame/low-key
+    # robust; ops/prior.boundary_connectivity_bg).  Off by default for
+    # reference parity (graph_builder.py:357-444 has no such cue).
+    bg_connectivity: bool = False
 
 
 @dataclasses.dataclass
@@ -117,10 +121,10 @@ def edge_budget_for(h: int, w: int, cfg: SuperpixelGraphConfig) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("n_segments", "compactness", "sigma", "connectivity",
-                     "n_nonlocal", "slic_iters"))
+                     "n_nonlocal", "slic_iters", "bg_connectivity"))
 def _build_graph_arrays(rgb: jnp.ndarray, n_segments: int, compactness: float,
                         sigma: float, connectivity: int, n_nonlocal: int,
-                        slic_iters: int):
+                        slic_iters: int, bg_connectivity: bool = False):
     """The fused device program.  rgb: (H, W, 3) float32 in 0..255."""
     H, W, _ = rgb.shape
     k = slic_ops.slic_num_labels(H, W, n_segments)
@@ -166,9 +170,13 @@ def _build_graph_arrays(rgb: jnp.ndarray, n_segments: int, compactness: float,
 
     # Reuse region_statistics' moments: the prior's own segment passes are
     # several extra O(HW) scatters per image (~80 ms per 8-image batch).
+    # geo_iters covers the region-grid diameter (~2·sqrt(K) hops).
+    geo_iters = min(int(2 * k ** 0.5) + 8, 96) if bg_connectivity else 0
     pr = prior_ops.compute_auto_prior(
         segments, lab, k,
-        stats=(st["counts"], st["mean_lab"], st["centroids"]))
+        stats=(st["counts"], st["mean_lab"], st["centroids"]),
+        adjacency=(adj_pairs, adj_mask) if bg_connectivity else None,
+        geo_iters=geo_iters)
 
     x = jnp.concatenate([node_feats, pr], axis=1)    # (K, 19)
     return dict(
@@ -193,20 +201,22 @@ def build_graph_batch_arrays(rgbs: jnp.ndarray,
     cfg = config or SuperpixelGraphConfig()
     return _build_graph_batch_jit(
         rgbs, cfg.n_segments, cfg.compactness, cfg.sigma, cfg.connectivity,
-        cfg.n_nonlocal, cfg.slic_iters)
+        cfg.n_nonlocal, cfg.slic_iters, cfg.bg_connectivity)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_segments", "compactness", "sigma", "connectivity",
-                     "n_nonlocal", "slic_iters"))
+                     "n_nonlocal", "slic_iters", "bg_connectivity"))
 def _build_graph_batch_jit(rgbs, n_segments, compactness, sigma,
-                           connectivity, n_nonlocal, slic_iters):
+                           connectivity, n_nonlocal, slic_iters,
+                           bg_connectivity=False):
     # One cached jit around the vmap: an eager vmap-of-jit re-dispatches
     # every primitive per call (~0.5-4 ms each over the tunnel).
     def one(rgb):
         return _build_graph_arrays(rgb, n_segments, compactness, sigma,
-                                   connectivity, n_nonlocal, slic_iters)
+                                   connectivity, n_nonlocal, slic_iters,
+                                   bg_connectivity)
 
     return jax.vmap(one)(rgbs)
 
@@ -225,7 +235,7 @@ def build_graph(image: np.ndarray,
     rgb = jnp.asarray(image).astype(jnp.float32)
     out = _build_graph_arrays(
         rgb, cfg.n_segments, cfg.compactness, cfg.sigma, cfg.connectivity,
-        cfg.n_nonlocal, cfg.slic_iters)
+        cfg.n_nonlocal, cfg.slic_iters, cfg.bg_connectivity)
 
     k = out["x"].shape[0]
     batch = make_graph_batch(

@@ -81,64 +81,95 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
     return labels
 
 
+#: keep-largest coherence gate: if the best runner-up component carries at
+#: least this fraction of the winner's posterior mass, the posterior is
+#: genuinely multi-modal / fragmented and deleting the runner-up would be
+#: destructive — fall back to min-area cleaning for that image.
+KEEP_LARGEST_MASS_GATE = 0.35
+
+
 @functools.partial(jax.jit, static_argnames=("keep_largest",))
 def _clean_mask_jit(mask: jnp.ndarray, min_area: jnp.ndarray,
-                    keep_largest: bool) -> jnp.ndarray:
+                    keep_largest: bool,
+                    posterior: jnp.ndarray | None = None) -> jnp.ndarray:
     H, W = mask.shape
     labels = connected_components(mask > 0, connectivity=8)
     flat = labels.reshape(-1)
     clamped = jnp.minimum(flat, H * W - 1)
-    sizes = jax.ops.segment_sum(
-        (flat < H * W).astype(jnp.float32), clamped, num_segments=H * W)
+    valid_px = (flat < H * W).astype(jnp.float32)
+    sizes = jax.ops.segment_sum(valid_px, clamped, num_segments=H * W)
     comp_size = sizes[clamped].reshape(H, W)
     comp_size = jnp.where(labels < H * W, comp_size, 0.0)
 
-    if keep_largest:
-        # "Largest object", not "largest component": a frame / vignette /
-        # letterbox misclassified as FG forms a component that hugs the
-        # image border, and picking it drops the actual subject (the
-        # reference's +0.015 from keep-largest assumes the subject IS the
-        # largest component, README.md:600-602).  Components occupying a
-        # large fraction of the border perimeter are frame-like — demote
-        # them, unless nothing else exists (a legitimately cropped subject
-        # touches the border only along part of it).
-        on_border = jnp.zeros((H, W), jnp.float32)
-        on_border = on_border.at[0, :].set(1.0).at[-1, :].set(1.0)
-        on_border = on_border.at[:, 0].set(1.0).at[:, -1].set(1.0)
-        border_cnt = jax.ops.segment_sum(
-            (on_border.reshape(-1)) * (flat < H * W).astype(jnp.float32),
-            clamped, num_segments=H * W)
-        perimeter = jnp.float32(2 * (H + W) - 4)
-        frame_like = (border_cnt[clamped].reshape(H, W) / perimeter) > 0.3
-        eff_size = jnp.where(frame_like, 0.0, comp_size)
-        has_non_frame = jnp.any(eff_size > 0)
-        score = jnp.where(has_non_frame, eff_size, comp_size)
-        largest = jnp.max(score)
-        keep = (score >= largest) & (score > 0)
-    else:
-        keep = comp_size >= min_area
-        # If everything was filtered out, fall back to the largest component
-        # (reference pipeline.py:222-226).
-        any_kept = jnp.any(keep)
-        largest = jnp.max(comp_size)
-        keep = jnp.where(any_kept, keep,
-                         (comp_size >= largest) & (comp_size > 0))
-    return keep.astype(jnp.uint8)
+    # The min-area path (also the keep-largest coherence fallback):
+    # components below min_area are dropped — never all of them
+    # (reference pipeline.py:222-226 keeps the largest).
+    keep_minarea = comp_size >= min_area
+    any_kept = jnp.any(keep_minarea)
+    largest_sz = jnp.max(comp_size)
+    keep_minarea = jnp.where(any_kept, keep_minarea,
+                             (comp_size >= largest_sz) & (comp_size > 0))
+
+    if not keep_largest:
+        return keep_minarea.astype(jnp.uint8)
+
+    # "Largest object", not "largest component": a frame / vignette /
+    # letterbox misclassified as FG forms a component that hugs the
+    # image border, and picking it drops the actual subject (the
+    # reference's +0.015 from keep-largest assumes the subject IS the
+    # largest component, README.md:600-602).  Components occupying a
+    # large fraction of the border perimeter are frame-like — demote
+    # them, unless nothing else exists (a legitimately cropped subject
+    # touches the border only along part of it).
+    on_border = jnp.zeros((H, W), jnp.float32)
+    on_border = on_border.at[0, :].set(1.0).at[-1, :].set(1.0)
+    on_border = on_border.at[:, 0].set(1.0).at[:, -1].set(1.0)
+    border_cnt = jax.ops.segment_sum(
+        on_border.reshape(-1) * valid_px, clamped, num_segments=H * W)
+    perimeter = jnp.float32(2 * (H + W) - 4)
+    frame_like = (border_cnt[clamped].reshape(H, W) / perimeter) > 0.3
+    eff_size = jnp.where(frame_like, 0.0, comp_size)
+    has_non_frame = jnp.any(eff_size > 0)
+    score = jnp.where(has_non_frame, eff_size, comp_size)
+    largest = jnp.max(score)
+    keep = (score >= largest) & (score > 0)
+
+    if posterior is None:
+        return keep.astype(jnp.uint8)
+
+    # Posterior-coherence gate: when the model's posterior concentrates
+    # comparable mass in a second component, the "noise" being deleted is
+    # as believable as the winner (a fragmented posterior, not a clean
+    # subject + specks) — keep-largest would be destructive, so fall back
+    # to min-area cleaning for this image.
+    pmass = jax.ops.segment_sum(
+        posterior.reshape(-1).astype(jnp.float32) * valid_px,
+        clamped, num_segments=H * W)
+    pmass_px = jnp.where(labels < H * W,
+                         pmass[clamped].reshape(H, W), 0.0)
+    winner_mass = jnp.max(jnp.where(keep, pmass_px, 0.0))
+    runner_mass = jnp.max(
+        jnp.where((eff_size > 0) & ~keep, pmass_px, 0.0))
+    fragmented = runner_mass > KEEP_LARGEST_MASS_GATE * winner_mass
+    return jnp.where(fragmented, keep_minarea, keep).astype(jnp.uint8)
 
 
 def clean_mask(mask, min_area_ratio: float = 0.002,
-               keep_largest: bool = False):
+               keep_largest: bool = False, posterior=None):
     """Remove spurious connected components from a binary mask.
 
     Mirrors reference `clean_mask` (pipeline.py:189-227): components smaller
     than `min_area_ratio` of the image are dropped (never all of them — the
-    largest survives), or only the largest is kept.
+    largest survives), or only the largest is kept.  With `posterior`
+    (an (H, W) foreground-probability map), keep-largest is gated on
+    posterior coherence (see KEEP_LARGEST_MASS_GATE).
     """
     import numpy as np
     mask = np.asarray(mask)
     if mask.sum() == 0 or (min_area_ratio <= 0 and not keep_largest):
         return mask
+    post = None if posterior is None else jnp.asarray(posterior)
     out = _clean_mask_jit(jnp.asarray(mask),
                           jnp.float32(min_area_ratio * mask.size),
-                          keep_largest)
+                          keep_largest, post)
     return np.asarray(out)

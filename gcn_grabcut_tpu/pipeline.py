@@ -302,7 +302,8 @@ def _trimap_stage_ms_device(px_stack, grays, priors, node_masks, segments,
 @functools.partial(jax.jit, static_argnames=("keep_largest",
                                              "want_segments"))
 def _post_stage_device(masks, trimaps, segments, min_area,
-                       keep_largest: bool, want_segments: bool = True):
+                       keep_largest: bool, want_segments: bool = True,
+                       pfg=None):
     """Batched component clean-up + output packing as one jit.
 
     Returns one (B, bytes) uint8 buffer so the batch's entire output rides
@@ -312,8 +313,14 @@ def _post_stage_device(masks, trimaps, segments, min_area,
     label map (vs 1 MB unpacked) — the d2h pull stops being a pipeline
     stage.  `_unpack_post_host` is the inverse."""
     from .ops.connected import _clean_mask_jit
-    cleaned = jax.vmap(
-        lambda m: _clean_mask_jit(m, min_area, keep_largest))(masks)
+    if pfg is not None:
+        # Posterior-coherence-gated keep-largest (ops/connected.py).
+        cleaned = jax.vmap(
+            lambda m, p: _clean_mask_jit(m, min_area, keep_largest, p)
+        )(masks, pfg)
+    else:
+        cleaned = jax.vmap(
+            lambda m: _clean_mask_jit(m, min_area, keep_largest))(masks)
     B, H, W = masks.shape
     hw = H * W
 
@@ -460,7 +467,10 @@ class GCNGrabCutPipeline:
         timing["grabcut"] = time.perf_counter() - t
 
         t = time.perf_counter()
-        cleaned = clean_mask(binary_mask, min_area_ratio, keep_largest)
+        post = (probs[:, CLASS_FG].astype(np.float32)[graph.segments]
+                if keep_largest else None)
+        cleaned = clean_mask(binary_mask, min_area_ratio, keep_largest,
+                             posterior=post)
         if not np.array_equal(cleaned, binary_mask):
             binary_mask = cleaned
             gc.mask = np.where(binary_mask == 1, TRIMAP_PROB_FG,
@@ -602,7 +612,8 @@ class GCNGrabCutPipeline:
             # resolution.  Objects mis-sized for one superpixel budget are
             # often recovered at another.
             assert ms_scales[0] == 1.0, "ms_scales[0] must be 1.0"
-            px_list = [_project_probs_device(probs, segments, (H, W))]
+            px_full = _project_probs_device(probs, segments, (H, W))
+            px_list = [px_full]
             for sc in ms_scales[1:]:
                 hs = max(int(round(H * sc)), 64)
                 ws = max(int(round(W * sc)), 64)
@@ -624,11 +635,15 @@ class GCNGrabCutPipeline:
                 jnp.stack(px_list), grays, out["prior"], out["node_mask"],
                 segments, jnp.float32(threshold_fg),
                 jnp.float32(threshold_bg), filter_radius)
+            # Same plane the thresholds see: the scale-averaged P(FG).
+            pfg_px = jnp.mean(jnp.stack(px_list), axis=0)[..., 1]
         else:
             trimaps = _trimap_stage_device(
                 probs, segments, grays, out["prior"], out["node_mask"],
                 jnp.float32(threshold_fg), jnp.float32(threshold_bg),
                 filter_radius)
+            pfg_px = (_project_probs_device(probs, segments, (H, W))[..., 1]
+                      if keep_largest else None)
         _sync(trimaps)
         timing["gcn_inference"] = time.perf_counter() - t
 
@@ -647,7 +662,8 @@ class GCNGrabCutPipeline:
         # pull itself happens in _finalize_batch so segment_stream can
         # overlap it with the next batch's device work.
         packed = _post_stage_device(masks, trimaps, segments, min_area,
-                                    keep_largest, want_segments)
+                                    keep_largest, want_segments,
+                                    pfg_px if keep_largest else None)
         _sync(packed)
         timing["postprocess"] = time.perf_counter() - t
         return {"packed": packed, "images": images, "H": H, "W": W,
