@@ -30,6 +30,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic-seed", type=int, default=777)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--n-segments", type=int, default=500)
+    p.add_argument("--bg-connectivity", action="store_true",
+                   help="geodesic boundary-connectivity bg prior cue "
+                        "(use the same setting the checkpoint was "
+                        "trained with)")
     p.add_argument("--max-size", type=int, default=512)
     p.add_argument("--threshold", type=float, default=0.65)
     p.add_argument("--filter-radius", type=int, default=4)
@@ -70,7 +74,8 @@ def main(argv=None):
     model, variables, meta = load_model_auto(args.checkpoint)
     if meta.get("ensemble_size", 1) > 1:
         print(f"[Eval] ensemble of {meta['ensemble_size']} checkpoints")
-    sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
+    sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments,
+                                   bg_connectivity=args.bg_connectivity)
     pipe = GCNGrabCutPipeline(model, variables, sp_cfg)
     ms_scales = (tuple(float(s) for s in args.ms_scales.split(","))
                  if args.ms_scales and args.ms_scales.lower() != "none"

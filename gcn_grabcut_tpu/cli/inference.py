@@ -29,6 +29,9 @@ def parse_args(argv=None):
                    help="an image file or a directory of images")
     p.add_argument("--output-dir", type=str, default="outputs")
     p.add_argument("--n-segments", type=int, default=500)
+    p.add_argument("--bg-connectivity", action="store_true",
+                   help="geodesic boundary-connectivity bg prior cue "
+                        "(match the checkpoint's training setting)")
     p.add_argument("--max-size", type=int, default=512)
     p.add_argument("--threshold", type=float, default=0.65)
     p.add_argument("--filter-radius", type=int, default=4)
@@ -77,7 +80,8 @@ def main(argv=None):
 
     pipe = GCNGrabCutPipeline(
         model, variables,
-        SuperpixelGraphConfig(n_segments=args.n_segments))
+        SuperpixelGraphConfig(n_segments=args.n_segments,
+                              bg_connectivity=args.bg_connectivity))
 
     inp = Path(args.input)
     files = ([inp] if inp.is_file() else

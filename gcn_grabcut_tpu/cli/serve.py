@@ -53,6 +53,9 @@ def parse_args(argv=None):
     p.add_argument("--size", type=int, default=512,
                    help="fixed canvas size (one compile signature)")
     p.add_argument("--n-segments", type=int, default=500)
+    p.add_argument("--bg-connectivity", action="store_true",
+                   help="geodesic boundary-connectivity bg prior cue "
+                        "(match the checkpoint's training setting)")
     p.add_argument("--batch", type=int, default=8,
                    help="max requests coalesced into one device program")
     p.add_argument("--batch-wait-ms", type=float, default=25.0,
@@ -252,7 +255,9 @@ def build_server(args) -> tuple:
         print(f"[Serve] ensemble of {meta['ensemble_size']} checkpoints")
     pipe = GCNGrabCutPipeline(
         model, variables,
-        sp_config=SuperpixelGraphConfig(n_segments=args.n_segments))
+        sp_config=SuperpixelGraphConfig(
+            n_segments=args.n_segments,
+            bg_connectivity=args.bg_connectivity))
 
     defaults = {"threshold": args.threshold,
                 "filter_radius": args.filter_radius,

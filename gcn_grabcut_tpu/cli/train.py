@@ -50,6 +50,11 @@ def parse_args(argv=None):
                    choices=["cosine_warm", "onecycle", "plateau", "none"],
                    default="cosine_warm")
     p.add_argument("--n-segments", type=int, default=300)
+    p.add_argument("--bg-connectivity", action="store_true",
+                   help="enable the geodesic boundary-connectivity "
+                        "background prior cue (frame/low-key robust; "
+                        "ops/prior.boundary_connectivity_bg) in the graph "
+                        "build — train and infer with the same setting")
     p.add_argument("--max-size", type=int, default=512)
     p.add_argument("--augment-copies", type=int, default=0)
     p.add_argument("--limit", type=int, default=0,
@@ -88,7 +93,8 @@ def main(argv=None):
     from ..train.trainer import Trainer, TrainConfig
     from ..models.resgcn import ResGCNNet
 
-    sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
+    sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments,
+                                   bg_connectivity=args.bg_connectivity)
 
     if args.hard_synthetic or args.photo_synthetic:
         from ..data.dataset import (make_hard_synthetic_dataset,

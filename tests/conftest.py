@@ -24,6 +24,38 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 import numpy as np  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# XLA:CPU mmap-exhaustion guard (the round-4 "deterministic segfault").
+#
+# Every XLA:CPU compiled executable pins ~3 mmap regions for its JIT'd code,
+# and they are only released when the executable is dropped from jax's
+# caches.  A full single-process suite run compiles thousands of distinct
+# programs (~270 new maps per test, measured), crossing the kernel's
+# vm.max_map_count ceiling (65530 by default) after ~240 tests — the next
+# compile's mmap fails and XLA segfaults inside backend_compile_and_load.
+# Measured at the crash: maps=64941 at test start, fds/threads/RSS all flat.
+# jax.clear_caches() releases the mappings completely (1393 -> 494 in a
+# 300-compile probe), so we clear once the count nears the ceiling; the
+# cost is a handful of recompiles right after each clear (~1-2 clears per
+# full run).
+# ---------------------------------------------------------------------------
+_MAPS_SOFT_LIMIT = 40_000
+
+
+def _map_count() -> int:
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:   # non-Linux: no /proc, and no map ceiling this low
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _xla_mmap_guard():
+    yield
+    if _map_count() > _MAPS_SOFT_LIMIT:
+        jax.clear_caches()
+
 
 @pytest.fixture(scope="session")
 def rng():

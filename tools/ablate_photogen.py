@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--bg-connectivity", action="store_true",
+                    help="geodesic boundary-connectivity prior cue in BOTH "
+                         "training data prep and inference")
+    ap.add_argument("--keep-ckpt", type=str, default=None,
+                    help="copy the best checkpoint here after scoring")
     ap.add_argument("--cache-dir", type=str, default="/tmp/ablate_cache")
     ap.add_argument("--out-json", type=str, default="/tmp/ablate_results.jsonl")
     args = ap.parse_args()
@@ -63,7 +68,8 @@ def main():
         p_vignette=args.p_vignette, p_lowkey=args.p_lowkey)
     train_s, val_s, _ = split_dataset(samples, seed=args.seed)
 
-    sp_cfg = SuperpixelGraphConfig(n_segments=300)
+    sp_cfg = SuperpixelGraphConfig(n_segments=300,
+                                   bg_connectivity=args.bg_connectivity)
     train_recs = prepare_dataset(train_s, sp_cfg, cache_dir=args.cache_dir,
                                  desc="train: ", keep_segments=False)
     val_recs = prepare_dataset(val_s, sp_cfg, cache_dir=args.cache_dir,
@@ -79,41 +85,59 @@ def main():
     best_val = max(history["val_score"]) if history["val_score"] else -1.0
     train_s_elapsed = time.time() - t_all
 
-    # --- demo head-to-head (same protocol as tools/demo_eval.py) ----------
-    from demo_eval import collect_images, iou
+    # --- demo head-to-head + dense posterior metrics ----------------------
+    # The 3-photo mask IoU is noisy (±0.1/photo run to run, PERF.md); the
+    # campaign's SELECTION metric is the dense posterior agreement with the
+    # reference pipeline's own recovered posterior (stage_swap recovers it
+    # from the demo video) — post_mae / post_iou have far lower variance
+    # because they skip the bistable trimap→GrabCut stages.
+    from stage_swap import collect_stages, resize_stages
+    from demo_eval import iou
     from gcn_grabcut_tpu import (GCNGrabCutPipeline, SuperpixelGraphConfig,
-                                 load_model_from_checkpoint)
-    pairs = collect_images("/root/reference/demo.mp4")
+                                 load_model_from_checkpoint, build_graph,
+                                 project_to_pixels, CLASS_FG)
+    stages = [resize_stages(s, 512)
+              for s in collect_stages("/root/reference/demo.mp4")]
     mdl, variables, _ = load_model_from_checkpoint(
         f"{save_dir}/best_model.msgpack")
-    pipe = GCNGrabCutPipeline(
-        mdl, variables, sp_config=SuperpixelGraphConfig(n_segments=500))
-    ious = []
-    for i, (bgr, ref_mask) in enumerate(pairs):
-        h, w = bgr.shape[:2]
-        s = 512 / max(h, w)
-        if s < 1.0:
-            bgr = cv2.resize(bgr, (int(w * s), int(h * s)),
-                             interpolation=cv2.INTER_AREA)
-            ref_mask = cv2.resize(ref_mask, (int(w * s), int(h * s)),
-                                  interpolation=cv2.INTER_NEAREST)
-        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+    infer_cfg = SuperpixelGraphConfig(
+        n_segments=500, bg_connectivity=args.bg_connectivity)
+    pipe = GCNGrabCutPipeline(mdl, variables, sp_config=infer_cfg)
+    ious, post_maes, post_ious = [], [], []
+    for i, st in enumerate(stages):
+        rgb = cv2.cvtColor(st["input"], cv2.COLOR_BGR2RGB)
         res = pipe.segment(rgb, threshold_fg=0.65, threshold_bg=0.65,
                            filter_radius=4, ms_scales=(1.0, 0.75))
-        v = iou(res.binary_mask > 0, ref_mask > 0)
+        v = iou(res.binary_mask > 0, st["mask"] > 0)
         ious.append(float(v))
-        print(f"[{args.name}] photo {i}: {v:.3f}")
+        graph = build_graph(rgb, infer_cfg)
+        probs = pipe.predict_probs(graph)
+        pfg = project_to_pixels(probs[:, CLASS_FG].astype(np.float32),
+                                np.asarray(graph.segments))
+        post_maes.append(float(np.abs(pfg - st["p_fg"]).mean()))
+        post_ious.append(float(iou(pfg > 0.5, st["p_fg"] > 0.5)))
+        print(f"[{args.name}] photo {i}: mask_iou={v:.3f} "
+              f"post_mae={post_maes[-1]:.4f} post_iou={post_ious[-1]:.3f}")
     rec = dict(name=args.name, ious=ious, mean=float(np.mean(ious)),
+               post_maes=post_maes, post_mae=float(np.mean(post_maes)),
+               post_ious=post_ious, post_iou=float(np.mean(post_ious)),
                p_piebald=args.p_piebald, p_achromatic=args.p_achromatic,
                p_vegetation=args.p_vegetation, p_frame=args.p_frame,
                p_vignette=args.p_vignette, p_lowkey=args.p_lowkey,
+               bg_connectivity=bool(args.bg_connectivity),
                epochs=args.epochs,
                hard=args.hard, photo=args.photo, seed=args.seed,
                best_val=float(best_val),
                train_time_s=round(train_s_elapsed, 1))
-    print(f"[{args.name}] mean={rec['mean']:.3f} val={rec['best_val']:.3f}")
+    print(f"[{args.name}] mean={rec['mean']:.3f} "
+          f"post_mae={rec['post_mae']:.4f} val={rec['best_val']:.3f}")
     with open(args.out_json, "a") as f:
         f.write(json.dumps(rec) + "\n")
+    if args.keep_ckpt:
+        import shutil
+        Path(args.keep_ckpt).parent.mkdir(parents=True, exist_ok=True)
+        shutil.copy(f"{save_dir}/best_model.msgpack", args.keep_ckpt)
+        print(f"[{args.name}] checkpoint kept → {args.keep_ckpt}")
 
 
 if __name__ == "__main__":

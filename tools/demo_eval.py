@@ -116,6 +116,9 @@ def main():
     ap.add_argument("--video", type=str, default="/root/reference/demo.mp4")
     ap.add_argument("--out", type=str, default="/tmp/demo_eval_grid.png")
     ap.add_argument("--n-segments", type=int, default=500)
+    ap.add_argument("--bg-connectivity", action="store_true",
+                    help="geodesic boundary-connectivity bg prior cue "
+                         "(match the checkpoint's training setting)")
     ap.add_argument("--threshold", type=float, default=0.65)
     ap.add_argument("--filter-radius", type=int, default=4)
     ap.add_argument("--max-size", type=int, default=512)
@@ -153,7 +156,9 @@ def main():
         model, variables, _ = load_model_from_checkpoint(ckpts[0])
     pipe = GCNGrabCutPipeline(
         model, variables,
-        sp_config=SuperpixelGraphConfig(n_segments=args.n_segments))
+        sp_config=SuperpixelGraphConfig(
+            n_segments=args.n_segments,
+            bg_connectivity=args.bg_connectivity))
 
     rows = []
     ious = []
