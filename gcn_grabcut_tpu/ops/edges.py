@@ -27,22 +27,23 @@ def unique_counts_static(codes: jnp.ndarray, size: int, sentinel
     return_counts=True)`, hand-rolled as sort + sorted segment reductions.
 
     jnp.unique's compaction path costs ~6x its underlying sort on this
-    backend (220 ms vs 36 ms for 8x1M codes); sorting then reducing with
-    `indices_are_sorted=True` segment ops (the repo's known-fast scatter
-    form) keeps only the sort.  Semantics match jnp.unique: ascending
-    uniques, truncated at `size`, empty slots carry `sentinel` with
-    count 0.
+    backend (220 ms vs 36 ms for 8x1M codes).  Even sorted-index segment
+    reductions pay ~20 ms per 4.7M-element input here, so the per-rank
+    boundaries come from a vectorised binary search instead: `rank` is
+    non-decreasing, so `searchsorted(rank, r)` is the first slot of rank
+    r — `size+1` log-time probes replace two full-length reductions
+    (measured 92 → 17 ms device at 1536²/10k, identical outputs).
+    Semantics match jnp.unique: ascending uniques, truncated at `size`,
+    empty slots carry `sentinel` with count 0.
     """
     s = jnp.sort(codes.reshape(-1))
     is_new = jnp.concatenate(
         [jnp.ones((1,), bool), s[1:] != s[:-1]])
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    rank = jnp.minimum(rank, size)          # overflow → dropped segment
-    uniq = jax.ops.segment_max(s, rank, num_segments=size + 1,
-                               indices_are_sorted=True)[:size]
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(rank), rank, num_segments=size + 1,
-        indices_are_sorted=True)[:size]
+    n = s.shape[0]
+    starts = jnp.searchsorted(rank, jnp.arange(size + 1, dtype=rank.dtype))
+    counts = jnp.diff(starts).astype(jnp.int32)
+    uniq = s[jnp.minimum(starts[:size], n - 1)]
     uniq = jnp.where(counts > 0, uniq, sentinel)
     return uniq, counts
 

@@ -78,6 +78,21 @@ def main():
         float(np.asarray(g.graph.x).sum())
     timed(full, label="full build_graph (host, with pulls)")
 
+    # device-resident fused build: the metric the batched/streamed product
+    # paths see — inputs already on device, one scalar pull to sync (the
+    # host-entry number above additionally pays ~7 MB h2d + ~5 MB d2h on a
+    # ~25-50 MB/s tunnel, a ~0.3 s protocol floor no kernel change moves).
+    from gcn_grabcut_tpu.graph_build import _build_graph_arrays
+
+    def dev(i=[0]):
+        i[0] = (i[0] + 1) % len(imgs)
+        out = _build_graph_arrays(imgs[i[0]], cfg.n_segments,
+                                  cfg.compactness, cfg.sigma,
+                                  cfg.connectivity, cfg.n_nonlocal,
+                                  cfg.slic_iters, cfg.bg_connectivity)
+        float(out["x"][0, 0])
+    timed(dev, label="fused build, device-resident (1 scalar pull)")
+
     # stage jits -------------------------------------------------------
     lab_j = jax.jit(im.rgb_to_lab)
 
