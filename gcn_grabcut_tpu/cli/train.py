@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--layers", type=int, default=6)
     p.add_argument("--dropout", type=float, default=0.2)
+    p.add_argument("--prior-dropout", type=float, default=0.0,
+                   help="per-graph probability of zeroing the 3 prior "
+                        "input channels during training (anti-over-trust "
+                        "regulariser; see TrainConfig.prior_dropout)")
     p.add_argument("--loss", choices=["trimap", "focal", "smooth_ce", "ce"],
                    default="trimap")
     p.add_argument("--scheduler",
@@ -136,7 +140,8 @@ def main(argv=None):
         n_epochs=args.epochs, lr=args.lr, weight_decay=args.weight_decay,
         batch_size=args.batch, loss_fn=args.loss, scheduler=args.scheduler,
         bf16=not args.no_bf16, early_stop_patience=args.patience,
-        t0=max(args.epochs // 3, 1), seed=args.seed, log_dir=args.log_dir)
+        t0=max(args.epochs // 3, 1), seed=args.seed, log_dir=args.log_dir,
+        prior_dropout=args.prior_dropout)
 
     mesh = None
     if args.devices > 1:

@@ -67,6 +67,15 @@ class TrainConfig:
     verbose: bool = True
     seed: int = 0
     log_dir: Optional[str] = None     # TensorBoard scalars when set
+    # Per-graph probability of zeroing the 3 prior input channels during
+    # training.  The training-free prior is a heuristic that fails on
+    # statistics the generator can't cover (e.g. vegetation masses that are
+    # geodesically isolated from the border); corruption forces the model
+    # to also learn image-feature evidence instead of over-trusting a
+    # too-consistent prior (round-5 finding: a bg-connectivity-trained
+    # model marked a whole bush FG because its bgness was low).  0 = off
+    # (reference parity — the reference has no such mechanism).
+    prior_dropout: float = 0.0
 
 
 class TrainState(struct.PyTreeNode):
@@ -258,9 +267,21 @@ class Trainer:
             batch_stats=batch_stats, opt_state=tx.init(params), tx=tx)
 
         model, loss_fn = self.model, self.loss_fn
+        prior_dropout = float(self.cfg.prior_dropout)
 
         def train_step(state: TrainState, batch: GraphBatch,
                        graph_weight, rng, lr_scale):
+            if prior_dropout > 0:
+                from ..core.graph import N_PRIOR_FEATS
+                rng, rng_prior = jax.random.split(rng)
+                keep = jax.random.bernoulli(
+                    rng_prior, 1.0 - prior_dropout,
+                    (batch.x.shape[0], 1, 1)).astype(batch.x.dtype)
+                x = jnp.concatenate(
+                    [batch.x[..., :-N_PRIOR_FEATS],
+                     batch.x[..., -N_PRIOR_FEATS:] * keep], axis=-1)
+                batch = batch.replace(x=x)
+
             def loss(params):
                 logits, upd = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},

@@ -224,6 +224,18 @@ class TestTrainerVariants:
         lr29 = float(sched(jnp.int32(29)))   # end of second cycle (len 20)
         assert lr29 < 0.1 * lr0
 
+    def test_prior_dropout_trains_finite(self, graphs, tmp_path):
+        """prior_dropout zeroes the 3 prior input channels per graph with
+        the given probability (anti-over-trust regulariser, round 5)."""
+        from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
+        tr = Trainer("resgcn", dict(hidden_channels=16, n_layers=1),
+                     TrainConfig(n_epochs=1, batch_size=4, bf16=False,
+                                 prior_dropout=0.5, verbose=False,
+                                 save_every=100),
+                     save_dir=tmp_path)
+        hist = tr.fit(graphs)
+        assert np.isfinite(hist["train_loss"][0])
+
     def test_sgd_optimizer_trains(self, graphs, tmp_path):
         from gcn_grabcut_tpu.train.trainer import Trainer, TrainConfig
         tr = Trainer("resgcn", dict(hidden_channels=16, n_layers=1),

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--bg-connectivity", action="store_true",
                     help="geodesic boundary-connectivity prior cue in BOTH "
                          "training data prep and inference")
+    ap.add_argument("--prior-dropout", type=float, default=0.0,
+                    help="TrainConfig.prior_dropout for this run")
     ap.add_argument("--keep-ckpt", type=str, default=None,
                     help="copy the best checkpoint here after scoring")
     ap.add_argument("--cache-dir", type=str, default="/tmp/ablate_cache")
@@ -77,7 +79,8 @@ def main():
 
     cfg = TrainConfig(n_epochs=args.epochs, weight_decay=3e-4,
                       early_stop_patience=30,
-                      t0=max(args.epochs // 3, 1), seed=args.seed)
+                      t0=max(args.epochs // 3, 1), seed=args.seed,
+                      prior_dropout=args.prior_dropout)
     save_dir = f"/tmp/ckpt_{args.name}"
     tr = Trainer("resgcn", dict(hidden_channels=128, n_layers=6),
                  cfg, save_dir=save_dir)
@@ -125,6 +128,7 @@ def main():
                p_vegetation=args.p_vegetation, p_frame=args.p_frame,
                p_vignette=args.p_vignette, p_lowkey=args.p_lowkey,
                bg_connectivity=bool(args.bg_connectivity),
+               prior_dropout=args.prior_dropout,
                epochs=args.epochs,
                hard=args.hard, photo=args.photo, seed=args.seed,
                best_val=float(best_val),
