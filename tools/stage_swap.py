@@ -146,6 +146,8 @@ def main():
                     default="examples/flagship512_resgcn_d128.msgpack")
     ap.add_argument("--video", type=str, default="/root/reference/demo.mp4")
     ap.add_argument("--n-segments", type=int, default=500)
+    ap.add_argument("--bg-connectivity", action="store_true",
+                    help="geodesic bg prior cue (match the checkpoint's training)")
     ap.add_argument("--threshold", type=float, default=0.65)
     ap.add_argument("--filter-radius", type=int, default=4)
     ap.add_argument("--max-size", type=int, default=512)
@@ -160,8 +162,8 @@ def main():
     from gcn_grabcut_tpu.utils import setup_compilation_cache
     setup_compilation_cache()
     from gcn_grabcut_tpu import (GCNGrabCutPipeline, SuperpixelGraphConfig,
-                                 load_model_from_checkpoint, GrabCut,
-                                 clean_mask)
+                                 GrabCut, clean_mask)
+    from gcn_grabcut_tpu.train.checkpoints import load_model_auto
 
     ms_scales = (tuple(float(s) for s in args.ms_scales.split(","))
                  if args.ms_scales and args.ms_scales.lower() != "none"
@@ -171,10 +173,14 @@ def main():
               for s in collect_stages(args.video)]
     print(f"recovered {len(stages)} photos with posterior+trimap+mask")
 
-    model, variables, _ = load_model_from_checkpoint(args.checkpoint)
+    model, variables, meta = load_model_auto(args.checkpoint)
+    if meta.get("ensemble_size", 1) > 1:
+        print(f"ensemble of {meta['ensemble_size']} checkpoints")
     pipe = GCNGrabCutPipeline(
         model, variables,
-        sp_config=SuperpixelGraphConfig(n_segments=args.n_segments))
+        sp_config=SuperpixelGraphConfig(
+            n_segments=args.n_segments,
+            bg_connectivity=args.bg_connectivity))
 
     cols = ["ours_full", "ours_cv2", "reftri_ours", "reftri_cv2",
             "tri_iou", "post_iou", "post_mae"]
