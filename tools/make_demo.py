@@ -76,9 +76,8 @@ def main(argv=None):
 
     sp_cfg = SuperpixelGraphConfig(n_segments=args.n_segments)
     if args.checkpoint:
-        from gcn_grabcut_tpu.train.checkpoints import (
-            load_model_from_checkpoint)
-        model, variables, _ = load_model_from_checkpoint(args.checkpoint)
+        from gcn_grabcut_tpu.train.checkpoints import load_model_auto
+        model, variables, _ = load_model_auto(args.checkpoint)
     else:
         model = build_model("resgcn", hidden_channels=64, n_layers=3)
         g0 = build_graph(img, sp_cfg).graph
