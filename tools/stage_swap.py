@@ -205,7 +205,14 @@ def main():
         m_reftri_cv2 = post(run_cv2_grabcut(bgr, ref_tri))
 
         r = dict(
-            ours_full=iou(res.binary_mask > 0, ref_mask > 0),
+            # post() on every column so rows compare refiners, not
+            # clean-up policies (idempotent on the already-cleaned
+            # product mask).  Note: photo 2's fragmented posterior is
+            # bistable near the 0.65 threshold ACROSS BACKENDS — CPU and
+            # TPU runs of the identical ensemble measure 0.404 vs 0.268
+            # there (each backend is internally deterministic); quote
+            # numbers with their backend.
+            ours_full=iou(post(res.binary_mask) > 0, ref_mask > 0),
             ours_cv2=iou(m_ours_cv2 > 0, ref_mask > 0),
             reftri_ours=iou(m_reftri_ours > 0, ref_mask > 0),
             reftri_cv2=iou(m_reftri_cv2 > 0, ref_mask > 0),
