@@ -56,19 +56,30 @@ def partition_edges_by_dst(edge_src: np.ndarray, edge_dst: np.ndarray,
     return src, dst, msk
 
 
-def sharded_scatter_add(mesh: Mesh, n_nodes: int):
+def sharded_scatter_add(mesh: Mesh, n_nodes: int, halo: str = "xla"):
     """Build an edge-partitioned aggregation: (x, src, dst, mask) → out.
 
     x is sharded P("graph") on the node axis; edge arrays are sharded
     P("graph") on the edge axis (pre-partitioned by destination block).
     Each device all-gathers x, computes its local messages, and scatter-adds
     into its own node block.  out has the same sharding as x.
+
+    halo="xla" assembles the node axis with `lax.all_gather` (XLA picks the
+    collective schedule); halo="pallas_ring" uses the explicit remote-DMA
+    ring kernel (parallel/ring_pallas.py) — hand-scheduled, double-buffered
+    ICI hops for bandwidth-critical halos on real torus meshes.
     """
     axis = "graph"
+    if halo not in ("xla", "pallas_ring"):
+        raise ValueError(f"unknown halo backend: {halo!r}")
 
     def local(x_blk, src, dst, mask):
         # Halo exchange: assemble the full node axis on every device.
-        x_full = jax.lax.all_gather(x_blk, axis, axis=0, tiled=True)
+        if halo == "pallas_ring":
+            from .ring_pallas import ring_all_gather
+            x_full = ring_all_gather(x_blk, axis)
+        else:
+            x_full = jax.lax.all_gather(x_blk, axis, axis=0, tiled=True)
         i = jax.lax.axis_index(axis)
         block = x_blk.shape[0]
         base = i * block
@@ -80,10 +91,23 @@ def sharded_scatter_add(mesh: Mesh, n_nodes: int):
                         jnp.float32).at[local_dst].add(msgs)
         return out.astype(x_blk.dtype)
 
+    if halo == "pallas_ring" and len(mesh.axis_names) > 1:
+        # The RDMA device id resolves against the named-axis environment,
+        # which Pallas's dma_start rule supports for exactly one named
+        # axis — the ring halo therefore takes a graph-only mesh (its
+        # natural shape: the halo rides the "graph" ring; data-parallel
+        # replicas each run their own ring).  Callers with a combined
+        # (data, graph) mesh pass the graph submesh here.
+        raise ValueError(
+            "halo='pallas_ring' requires a single-axis ('graph',) mesh; "
+            f"got axes {mesh.axis_names}.  Build the aggregation over the "
+            "graph-axis submesh (Mesh(devices_of_one_replica, ('graph',)))")
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis), P(axis), P(axis)),
-        out_specs=P(axis, None))
+        out_specs=P(axis, None),
+        # The pallas_call primitive carries no replication rule.
+        check_rep=(halo == "xla"))
 
 
 def partition_edges_2d(edge_src: np.ndarray, edge_dst: np.ndarray,
@@ -174,7 +198,8 @@ def ring_scatter_add(mesh: Mesh, n_nodes: int):
 
 
 def mesh_aggregators(mesh: Mesh, edge_src, edge_dst, edge_mask,
-                     n_nodes: int, method: str = "ring"):
+                     n_nodes: int, method: str = "ring",
+                     halo: str = "xla"):
     """(gcn_propagate, mean_propagate) callables for
     ``ResGCNNet(aggregators=…)`` that run the neighbourhood aggregation
     edge-partitioned over the mesh "graph" axis.
@@ -184,7 +209,9 @@ def mesh_aggregators(mesh: Mesh, edge_src, edge_dst, edge_mask,
     aggregator uses 1/deg(dst).  `method="ring"` circulates node blocks
     with `lax.ppermute` (O(N/n) peak memory, permute s+1 overlappable with
     bucket-s compute); `method="allgather"` assembles the full node axis
-    per layer.  Both accept the model's (1, N, D) activations.
+    per layer (halo="xla" via lax.all_gather, halo="pallas_ring" via the
+    explicit remote-DMA ring kernel).  Both accept the model's (1, N, D)
+    activations.
     """
     n_sh = mesh.shape["graph"]
     block = -(-n_nodes // n_sh)
@@ -216,7 +243,7 @@ def mesh_aggregators(mesh: Mesh, edge_src, edge_dst, edge_mask,
                 return agg(hp, s2, d2, w2)[:n][None]
             return prop
     elif method == "allgather":
-        agg = sharded_scatter_add(mesh, n_pad)
+        agg = sharded_scatter_add(mesh, n_pad, halo=halo)
 
         def build(ss, dd, ww):
             ps, pd, pw = partition_edges_by_dst(ss, dd, ww, n_pad, n_sh)
