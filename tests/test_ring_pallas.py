@@ -116,6 +116,63 @@ def test_model_forward_with_pallas_halo():
     np.testing.assert_allclose(out, dense_out, atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.parametrize("ndev", [2, 4, 8])
+def test_reduce_scatter_matches_psum_scatter(ndev):
+    if len(jax.devices()) < ndev:
+        pytest.skip(f"needs >= {ndev} virtual devices")
+    from gcn_grabcut_tpu.parallel.ring_pallas import ring_reduce_scatter
+    mesh = _mesh(ndev)
+    block, d = 16, 128
+    r = np.random.RandomState(0)
+    # Per-device distinct cotangents: shard a (ndev, ndev*block, d) stack.
+    g = jnp.asarray(r.randn(ndev, ndev * block, d).astype(np.float32))
+
+    def ring(gs):
+        return ring_reduce_scatter(gs[0], "graph")
+
+    def xla(gs):
+        return jax.lax.psum_scatter(gs[0], "graph", scatter_dimension=0,
+                                    tiled=True)
+
+    kw = dict(mesh=mesh, in_specs=P("graph", None, None),
+              out_specs=P("graph", None), check_rep=False)
+    got = np.asarray(jax.jit(shard_map(ring, **kw))(g))
+    want = np.asarray(jax.jit(shard_map(xla, **kw))(g))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_halo_gradient_matches_xla_halo():
+    """Training through the RDMA halo: grad of a scalar loss through
+    sharded_scatter_add must match the XLA-collective halo exactly
+    (the custom VJP routes the backward through the reduce-scatter ring)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gcn_grabcut_tpu.parallel.partition import (
+        partition_edges_by_dst, sharded_scatter_add)
+    r = np.random.RandomState(1)
+    n, e, d, n_sh = 128, 600, 128, 8
+    src = r.randint(0, n, e).astype(np.int32)
+    dst = r.randint(0, n, e).astype(np.int32)
+    w = r.rand(e).astype(np.float32)
+    x = jnp.asarray(r.randn(n, d).astype(np.float32))
+    tgt = jnp.asarray(r.randn(n, d).astype(np.float32))
+
+    mesh = Mesh(np.array(jax.devices()), ("graph",))
+    ps, pd, pw = map(jnp.asarray, partition_edges_by_dst(src, dst, w, n, n_sh))
+
+    def loss_fn(agg):
+        def loss(xx):
+            out = agg(xx, ps, pd, pw)
+            return jnp.sum((out - tgt) ** 2)
+        return loss
+
+    g_ring = np.asarray(jax.grad(loss_fn(
+        sharded_scatter_add(mesh, n, halo="pallas_ring")))(x))
+    g_xla = np.asarray(jax.grad(loss_fn(
+        sharded_scatter_add(mesh, n, halo="xla")))(x))
+    np.testing.assert_allclose(g_ring, g_xla, atol=1e-4, rtol=1e-5)
+
+
 def test_pallas_halo_rejects_multi_axis_mesh():
     if len(jax.devices()) < 4:
         pytest.skip("needs >= 4 virtual devices")
